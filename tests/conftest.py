@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU backend.
+
+Must run before jax initializes any backend.  This is the standard JAX
+fake-backend pattern for testing multi-chip sharding without TPU hardware
+(SURVEY.md section 4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(8)
