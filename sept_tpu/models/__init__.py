@@ -1,0 +1,46 @@
+"""Flax model zoo: baseline SER/adversary classifiers + cloak privacy models."""
+
+from sept_tpu.models.backbone import (
+    NUM_EMO_CLASSES,
+    NUM_GENDER_CLASSES,
+    AttentionPool,
+    Conv2dBiRNN,
+    DeepConv2dBiRNN,
+    OneDConvNet,
+    PlainConv2d,
+    StackedBiRNN,
+)
+from sept_tpu.models.cloak import CloakedModel, CloakedModelGRL, CloakNoise
+
+__all__ = [
+    "NUM_EMO_CLASSES",
+    "NUM_GENDER_CLASSES",
+    "AttentionPool",
+    "CloakNoise",
+    "CloakedModel",
+    "CloakedModelGRL",
+    "Conv2dBiRNN",
+    "DeepConv2dBiRNN",
+    "OneDConvNet",
+    "PlainConv2d",
+    "StackedBiRNN",
+]
+
+
+def build_backbone(model_type: str, **kwargs):
+    """Model factory mirroring the reference trainers' --model_type switch
+    (training_cloak.py:314-349)."""
+    if model_type in ("cnn-lstm-att", "2d-cnn-lstm"):
+        return Conv2dBiRNN(**kwargs)
+    if model_type == "deep-2d-cnn-lstm":
+        return DeepConv2dBiRNN(**kwargs)
+    if model_type == "1d-cnn-lstm-att":
+        kwargs.pop("hidden_size", None)
+        kwargs.pop("rnn_cell", None)
+        return OneDConvNet(**kwargs)
+    if model_type == "2d-cnn":
+        kwargs.pop("hidden_size", None)
+        kwargs.pop("rnn_cell", None)
+        kwargs.pop("att", None)
+        return PlainConv2d(**kwargs)
+    raise ValueError(f"unknown model_type: {model_type!r}")

@@ -1,0 +1,305 @@
+"""88-dimensional acoustic functionals ("gemaps" global features).
+
+The reference obtains its 88-dim global feature vector from openSMILE's
+eGeMAPSv02 functionals — a C++ dependency behind the ``opensmile`` pip
+wrapper (/root/reference/feature_extraction/audio_feature_extraction.py:74-78).
+openSMILE is not re-implementable to bit parity without its code; what the
+downstream pipeline actually requires is a *deterministic 88-dim per-utterance
+descriptor that is z-normed per speaker* (preprocess_adversary_data.py:366-390)
+and concatenated to the pooled RNN state when ``global_feature=1``
+(baseline_models.py:208,244-245).
+
+This module computes an eGeMAPS-inspired 88-dim vector from TPU-computed
+low-level descriptors (LLDs): the heavy per-frame spectral work (STFT, mel,
+band energies) runs as the same MXU GEMM chain as the main frontend; the
+order-statistics functionals run on host over the trimmed LLD tracks.
+
+Feature catalog (documented so downstream users can interpret dimensions):
+
+- F0 (log2-semitone, autocorrelation pitch): mean, std, p20, p50, p80,
+  range(p80-p20), rising/falling slope means                      (8)
+- voicing probability: mean, std                                  (2)
+- jitter proxy (frame-to-frame F0 delta): mean, std               (2)
+- loudness (log-energy): mean, std(coeff-var), p20, p50, p80, range,
+  rising/falling slope means, peaks-per-second                    (9)
+- shimmer proxy (frame-to-frame loudness delta): mean, std        (2)
+- HNR proxy (autocorr peak ratio, dB): mean, std                  (2)
+- alpha ratio (50-1000 Hz vs 1-5 kHz energy): mean, std           (2)
+- hammarberg index (0-2 kHz max vs 2-5 kHz max, dB): mean, std    (2)
+- spectral slope 0-500 Hz and 500-1500 Hz: mean, std each         (4)
+- spectral centroid / spread / flux / rolloff(0.85): mean, std    (8)
+- mfcc 1..4: mean, std each                                       (8)
+- 13 mel-band log energies (octave-ish bands): mean, std each     (26)
+- formant-band proxies F1/F2/F3 (300-900/900-2500/2500-3500 Hz
+  centroid + relative energy): mean of each                       (6)
+- unvoiced/voiced segment stats: mean voiced-run length,
+  mean unvoiced-run length, voiced ratio                          (3)
+- duration (log seconds), frame count (log)                       (2)
+- spectral entropy: mean, std                                     (2)
+                                                        total  =  88
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sept_tpu.ops import frontend as F
+
+__all__ = ["N_GEMAPS", "egemaps_functionals", "egemaps_functionals_batch"]
+
+N_GEMAPS = 88
+_SR = 16000
+_NFFT = 800
+_HOP = 160
+_NFREQ = _NFFT // 2 + 1
+
+
+def _freqs():
+    return np.linspace(0, _SR / 2, _NFREQ)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_matrix() -> np.ndarray:
+    """13 octave-ish triangular band filters over the linear spectrum."""
+    edges = np.array(
+        [50, 150, 300, 500, 750, 1000, 1500, 2000, 2500, 3000, 4000, 5000, 6500, 8000],
+        dtype=np.float64,
+    )
+    f = _freqs()
+    bands = np.zeros((_NFREQ, 13), dtype=np.float32)
+    for b in range(13):
+        lo, hi = edges[b], edges[b + 1]
+        bands[:, b] = ((f >= lo) & (f < hi)).astype(np.float32)
+    return bands
+
+
+@functools.lru_cache(maxsize=None)
+def _lld_fn(padded_len: int):
+    """Jitted LLD extractor for one padded waveform length.
+
+    Returns per-frame tracks: (n_frames, n_lld).
+    """
+
+    f = jnp.asarray(_freqs().astype(np.float32))
+    bands = jnp.asarray(_band_matrix())
+    mel_fb = jnp.asarray(F.melscale_fbanks(_NFREQ, 0.0, 8000.0, 26, _SR))
+    dct = jnp.asarray(F.create_dct(5, 26, "ortho"))  # mfcc 0..4
+
+    lo500 = jnp.asarray((_freqs() < 500).astype(np.float32))
+    f500_1500 = jnp.asarray(
+        (( _freqs() >= 500) & (_freqs() < 1500)).astype(np.float32)
+    )
+    alpha_lo = jnp.asarray(((_freqs() >= 50) & (_freqs() < 1000)).astype(np.float32))
+    alpha_hi = jnp.asarray(((_freqs() >= 1000) & (_freqs() < 5000)).astype(np.float32))
+    ham_lo = jnp.asarray((_freqs() < 2000).astype(np.float32))
+    ham_hi = jnp.asarray(((_freqs() >= 2000) & (_freqs() < 5000)).astype(np.float32))
+    formant_bands = [
+        jnp.asarray(((_freqs() >= 300) & (_freqs() < 900)).astype(np.float32)),
+        jnp.asarray(((_freqs() >= 900) & (_freqs() < 2500)).astype(np.float32)),
+        jnp.asarray(((_freqs() >= 2500) & (_freqs() < 3500)).astype(np.float32)),
+    ]
+
+    def lld(wave):
+        frames = F.frame_signal(wave, _NFFT, _HOP, center=False)
+        win = jnp.asarray(F.hann_window(_NFFT))
+        framed = frames * win[None, :]
+        cos_m, sin_m = F._rdft_matrices(_NFFT)
+        re = jnp.dot(framed, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
+        im = jnp.dot(framed, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
+        spec = re * re + im * im  # (T, n_freq)
+        eps = 1e-10
+
+        energy = jnp.sum(spec, axis=1)
+        loud = 10.0 * jnp.log10(energy + eps)
+
+        total = energy + eps
+        centroid = jnp.sum(spec * f[None, :], axis=1) / total
+        spread = jnp.sqrt(
+            jnp.sum(spec * (f[None, :] - centroid[:, None]) ** 2, axis=1) / total
+        )
+        cum = jnp.cumsum(spec, axis=1)
+        rolloff_idx = jnp.argmax(cum >= 0.85 * total[:, None], axis=1)
+        rolloff = f[rolloff_idx]
+        p = spec / total[:, None]
+        entropy = -jnp.sum(p * jnp.log(p + eps), axis=1)
+        flux = jnp.concatenate(
+            [jnp.zeros((1,)), jnp.sqrt(jnp.sum(jnp.diff(spec, axis=0) ** 2, axis=1))]
+        )
+
+        # slopes: linear fit of dB spectrum against frequency within a band
+        db_spec = 10.0 * jnp.log10(spec + eps)
+
+        def band_slope(mask):
+            n = jnp.sum(mask)
+            fx = f * mask
+            mx = jnp.sum(fx) / n
+            my = jnp.sum(db_spec * mask[None, :], axis=1) / n
+            cov = jnp.sum((fx - mx * mask)[None, :] * db_spec * mask[None, :], axis=1)
+            var = jnp.sum((fx - mx * mask) ** 2)
+            return cov / (var + eps) - my * 0.0  # slope dB/Hz
+
+        slope0 = band_slope(lo500)
+        slope1 = band_slope(f500_1500)
+
+        alpha = 10.0 * jnp.log10(
+            (jnp.sum(spec * alpha_lo[None, :], axis=1) + eps)
+            / (jnp.sum(spec * alpha_hi[None, :], axis=1) + eps)
+        )
+        hamm = 10.0 * jnp.log10(
+            (jnp.max(spec * ham_lo[None, :], axis=1) + eps)
+            / (jnp.max(spec * ham_hi[None, :], axis=1) + eps)
+        )
+
+        mel = jnp.dot(spec, mel_fb, preferred_element_type=jnp.float32)
+        mel_db = 10.0 * jnp.log10(mel + eps)
+        mfcc = jnp.dot(mel_db, dct, preferred_element_type=jnp.float32)  # (T, 5)
+        band_e = 10.0 * jnp.log10(
+            jnp.dot(spec, bands, preferred_element_type=jnp.float32) + eps
+        )  # (T, 13)
+
+        # pitch via FFT-based frame autocorrelation (50..500 Hz lag search):
+        # ac[t] = irfft(|rfft(frame, 2N)|^2) — one transform, compile-friendly
+        ac_frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+        min_lag, max_lag = _SR // 500, _SR // 50  # 32..320
+        spec_ac = jnp.fft.rfft(ac_frames, n=2 * _NFFT, axis=1)
+        ac_full = jnp.fft.irfft(spec_ac * jnp.conj(spec_ac), axis=1).real
+        acs = ac_full[:, min_lag:max_lag]  # (T, n_lags)
+        ac0 = ac_full[:, 0] + eps
+        lags = np.arange(min_lag, max_lag)
+        best = jnp.argmax(acs, axis=1)
+        best_val = jnp.max(acs, axis=1) / ac0
+        f0 = _SR / (jnp.asarray(lags.astype(np.float32))[best])
+        voiced = (best_val > 0.45).astype(jnp.float32)
+        f0_log = jnp.log2(jnp.maximum(f0, 1.0)) * 12.0  # semitone scale
+        hnr = 10.0 * jnp.log10(
+            jnp.clip(best_val, 1e-4, 0.9999) / (1.0 - jnp.clip(best_val, 1e-4, 0.9999))
+        )
+
+        formant_feats = []
+        for fb_mask in formant_bands:
+            be = jnp.sum(spec * fb_mask[None, :], axis=1)
+            fc = jnp.sum(spec * (f * fb_mask)[None, :], axis=1) / (be + eps)
+            formant_feats += [fc, 10.0 * jnp.log10(be / total + eps)]
+
+        tracks = jnp.stack(
+            [
+                f0_log, voiced, best_val, loud, hnr, alpha, hamm,
+                slope0, slope1, centroid, spread, flux, rolloff, entropy,
+            ]
+            + [mfcc[:, i] for i in range(1, 5)]
+            + [band_e[:, i] for i in range(13)]
+            + formant_feats,
+            axis=1,
+        )
+        return tracks
+
+    return jax.jit(lld)
+
+
+def _runs(mask: np.ndarray) -> list[int]:
+    runs, count = [], 0
+    for v in mask:
+        if v:
+            count += 1
+        elif count:
+            runs.append(count)
+            count = 0
+    if count:
+        runs.append(count)
+    return runs
+
+
+def _functionals(tracks: np.ndarray, n_samples: int) -> np.ndarray:
+    """Reduce (T, n_lld) tracks to the 88-dim catalog vector."""
+    eps = 1e-10
+    (f0, voiced, vprob, loud, hnr, alpha, hamm, s0, s1, cent, spread, flux,
+     roll, ent) = (tracks[:, i] for i in range(14))
+    mfccs = tracks[:, 14:18]
+    bands = tracks[:, 18:31]
+    formants = tracks[:, 31:37]
+
+    vmask = voiced > 0.5
+    f0v = f0[vmask] if vmask.any() else f0
+
+    def stats5(x):
+        return [
+            float(np.mean(x)), float(np.std(x)),
+            float(np.percentile(x, 20)), float(np.percentile(x, 50)),
+            float(np.percentile(x, 80)),
+        ]
+
+    def rise_fall(x):
+        d = np.diff(x) if len(x) > 1 else np.zeros(1)
+        rise = d[d > 0]
+        fall = d[d < 0]
+        return [
+            float(np.mean(rise)) if len(rise) else 0.0,
+            float(np.mean(fall)) if len(fall) else 0.0,
+        ]
+
+    out: list[float] = []
+    # F0 (8)
+    st = stats5(f0v)
+    out += st + [st[4] - st[2]] + rise_fall(f0v)
+    # voicing prob (2)
+    out += [float(np.mean(vprob)), float(np.std(vprob))]
+    # jitter proxy (2)
+    dj = np.abs(np.diff(f0v)) if len(f0v) > 1 else np.zeros(1)
+    out += [float(np.mean(dj)), float(np.std(dj))]
+    # loudness (9)
+    st = stats5(loud)
+    peaks = int(np.sum((loud[1:-1] > loud[:-2]) & (loud[1:-1] > loud[2:]))) if len(loud) > 2 else 0
+    dur_s = n_samples / _SR
+    out += st + [st[4] - st[2]] + rise_fall(loud) + [peaks / max(dur_s, eps)]
+    # shimmer proxy (2)
+    ds = np.abs(np.diff(loud)) if len(loud) > 1 else np.zeros(1)
+    out += [float(np.mean(ds)), float(np.std(ds))]
+    # HNR (2), alpha (2), hammarberg (2), slopes (4)
+    for x in (hnr, alpha, hamm, s0, s1):
+        out += [float(np.mean(x)), float(np.std(x))]
+    # centroid/spread/flux/rolloff (8)
+    for x in (cent, spread, flux, roll):
+        out += [float(np.mean(x)), float(np.std(x))]
+    # mfcc1..4 (8)
+    for i in range(4):
+        out += [float(np.mean(mfccs[:, i])), float(np.std(mfccs[:, i]))]
+    # 13 band energies (26)
+    for i in range(13):
+        out += [float(np.mean(bands[:, i])), float(np.std(bands[:, i]))]
+    # formant proxies (6): means only
+    for i in range(6):
+        out.append(float(np.mean(formants[:, i])))
+    # voiced/unvoiced segment stats (3)
+    vruns, uruns = _runs(vmask), _runs(~vmask)
+    out += [
+        float(np.mean(vruns)) if vruns else 0.0,
+        float(np.mean(uruns)) if uruns else 0.0,
+        float(np.mean(vmask)),
+    ]
+    # durations (2)
+    out += [float(np.log(dur_s + eps)), float(np.log(len(tracks) + 1))]
+    # entropy (2)
+    out += [float(np.mean(ent)), float(np.std(ent))]
+
+    assert len(out) == N_GEMAPS, len(out)
+    return np.asarray(out, dtype=np.float32)
+
+
+def egemaps_functionals(wave: np.ndarray) -> np.ndarray:
+    """(n_samples,) float32 waveform -> (88,) functionals vector."""
+    pad = ((len(wave) + 7999) // 8000) * 8000
+    padded = np.zeros(pad, dtype=np.float32)
+    padded[: len(wave)] = wave
+    t = max(1, 1 + (len(wave) - _NFFT) // _HOP)
+    tracks = np.asarray(_lld_fn(pad)(jnp.asarray(padded)))[:t]
+    return _functionals(tracks, len(wave))
+
+
+def egemaps_functionals_batch(
+    waveforms: dict[str, np.ndarray]
+) -> dict[str, np.ndarray]:
+    return {u: egemaps_functionals(w) for u, w in waveforms.items()}

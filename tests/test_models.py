@@ -1,0 +1,226 @@
+"""Model zoo unit tests: shapes, cloak noise math, GRL minimax gradient signs.
+
+Reference semantics: /root/reference/model/{baseline_models,cloak_models}.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sept_tpu.models import (
+    CloakNoise,
+    CloakedModel,
+    CloakedModelGRL,
+    Conv2dBiRNN,
+    DeepConv2dBiRNN,
+    OneDConvNet,
+    PlainConv2d,
+    build_backbone,
+)
+
+B, T, D = 2, 200, 128
+KEY = jax.random.PRNGKey(8)
+
+
+def _x():
+    return jax.random.normal(KEY, (B, T, D, 1), dtype=jnp.float32)
+
+
+def _init_apply(model, *args, train=False, **kwargs):
+    variables = model.init(
+        {"params": KEY, "dropout": KEY, "noise": KEY}, *args, train=train, **kwargs
+    )
+    out = model.apply(
+        variables,
+        *args,
+        train=train,
+        rngs={"dropout": KEY, "noise": KEY},
+        mutable=["batch_stats"] if train else False,
+        **kwargs,
+    )
+    if train:
+        out = out[0]
+    return out, variables
+
+
+@pytest.mark.parametrize("pred,n_out", [("emotion", 4), ("gender", 2)])
+def test_conv2d_birnn_shapes(pred, n_out):
+    model = Conv2dBiRNN(hidden_size=64, pred=pred)
+    logits, variables = _init_apply(model, _x())
+    assert logits.shape == (B, n_out)
+    # rnn input is channel-major 128 * D/8 = 2048 (baseline_models.py:161)
+    kernel = variables["params"]["rnn"]["GRUCell_0"]["in"]["kernel"]
+    assert kernel.shape[0] == 128 * (D // 8)
+
+
+def test_conv2d_birnn_multitask_and_global():
+    model = Conv2dBiRNN(hidden_size=64, pred="multitask")
+    g = jnp.zeros((B, 88))
+    (emo, gen), _ = _init_apply(model, _x(), global_feature=g)
+    assert emo.shape == (B, 4) and gen.shape == (B, 2)
+
+
+def test_conv2d_birnn_attention_pooling():
+    model = Conv2dBiRNN(hidden_size=64, att="self_att", attention_size=128)
+    logits, variables = _init_apply(model, _x())
+    assert logits.shape == (B, 4)
+    assert "att_pool" in variables["params"]
+
+
+def test_deep_variant_flatten_pooling():
+    model = DeepConv2dBiRNN(hidden_size=64)
+    logits, variables = _init_apply(model, _x(), pooling=None)
+    assert logits.shape == (B, 4)
+    # flatten mode: dense1 input = 2*hidden*T/8 = 128*25 (baseline_models.py:334)
+    assert variables["params"]["heads"]["dense1"]["kernel"].shape[0] == 2 * 64 * (T // 8)
+
+
+def test_one_d_and_plain_2d_models_run():
+    logits, _ = _init_apply(OneDConvNet(), _x())
+    assert logits.shape == (B, 4)
+    logits, _ = _init_apply(PlainConv2d(), _x())
+    assert logits.shape == (B, 4)
+
+
+def test_build_backbone_factory():
+    assert isinstance(build_backbone("cnn-lstm-att", hidden_size=64), Conv2dBiRNN)
+    assert isinstance(build_backbone("deep-2d-cnn-lstm"), DeepConv2dBiRNN)
+    assert isinstance(build_backbone("1d-cnn-lstm-att"), OneDConvNet)
+    assert isinstance(build_backbone("2d-cnn"), PlainConv2d)
+    with pytest.raises(ValueError):
+        build_backbone("nope")
+
+
+# ---------------------------------------------------------------------------
+# CloakNoise math (cloak_models.py:24-58)
+# ---------------------------------------------------------------------------
+
+
+def test_cloak_noise_scales_init():
+    noise = CloakNoise(win_len=T, n_feats=D, min_scale=0.01, max_scale=10.0)
+    variables = noise.init({"params": KEY, "noise": KEY}, jnp.zeros((1, T, D)))
+    rhos = variables["params"]["rhos"]
+    np.testing.assert_allclose(np.asarray(rhos), -2.0)
+    scales = noise.apply(variables, method=CloakNoise.scales)
+    # (1 + tanh(-2))/2 * (10 - 0.01) + 0.01
+    expect = (1 + np.tanh(-2.0)) / 2 * 9.99 + 0.01
+    np.testing.assert_allclose(np.asarray(scales), expect, rtol=1e-3)
+
+
+def test_cloak_noise_statistics():
+    noise = CloakNoise(win_len=T, n_feats=D)
+    variables = noise.init({"params": KEY, "noise": KEY}, jnp.zeros((1, T, D)))
+    x = jnp.zeros((64, T, D))
+    out = noise.apply(variables, x, rngs={"noise": jax.random.PRNGKey(3)})
+    # effective std = eps_std * scales = 0.1 * 0.129 ~= 0.0129
+    expect_std = 0.1 * ((1 + np.tanh(-2.0)) / 2 * 9.99 + 0.01)
+    assert abs(float(jnp.std(out)) - expect_std) < 0.05 * expect_std
+    # one shared draw per call: all batch elements get identical noise
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_cloak_noise_mask_gates_eps_not_locs():
+    """mask zeros the input and epsilon, but mu is still added (quirk 7)."""
+    noise = CloakNoise(win_len=4, n_feats=4)
+    variables = noise.init({"params": KEY, "noise": KEY}, jnp.zeros((1, 4, 4)))
+    variables = jax.tree.map(lambda v: v, variables)
+    locs = jnp.full((4, 4), 7.0)
+    variables = {"params": {"locs": locs, "rhos": variables["params"]["rhos"]}}
+    mask = jnp.zeros((4, 4))
+    x = jnp.ones((1, 4, 4)) * 100.0
+    out = noise.apply(variables, x, mask, rngs={"noise": KEY})
+    # input*0 + (locs + scales*eps*0) = locs
+    np.testing.assert_allclose(np.asarray(out[0]), 7.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Composite cloak models
+# ---------------------------------------------------------------------------
+
+
+def test_cloaked_model_outputs_and_noisy_stopgrad():
+    backbone = Conv2dBiRNN(hidden_size=32, pred="emotion")
+    model = CloakedModel(backbone=backbone, win_len=T, n_feats=D)
+    x = _x()
+    variables = model.init({"params": KEY, "noise": KEY}, x)
+    logits, noisy = model.apply(variables, x, rngs={"noise": KEY})
+    assert logits.shape == (B, 4)
+    assert noisy.shape == x.shape
+
+    # noisy must carry no gradient to the noise params (it is detached)
+    def loss_via_noisy(params):
+        _, ny = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, rngs={"noise": KEY},
+        )
+        return jnp.sum(ny)
+
+    g = jax.grad(loss_via_noisy)(variables["params"])
+    assert float(jnp.max(jnp.abs(g["noise"]["locs"]))) == 0.0
+
+
+def test_cloaked_model_grads_flow_through_frozen_backbone():
+    backbone = Conv2dBiRNN(hidden_size=32, pred="emotion")
+    model = CloakedModel(backbone=backbone, win_len=T, n_feats=D)
+    x = _x()
+    variables = model.init({"params": KEY, "noise": KEY}, x)
+
+    def loss(params):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, rngs={"noise": KEY},
+        )
+        return jnp.sum(logits**2)
+
+    g = jax.grad(loss)(variables["params"])
+    # gradients reach the noise parameters THROUGH the backbone
+    assert float(jnp.max(jnp.abs(g["noise"]["locs"]))) > 0.0
+    assert float(jnp.max(jnp.abs(g["noise"]["rhos"]))) > 0.0
+
+
+def test_cloaked_grl_gradient_signs():
+    """The GRL game: gender loss gradient w.r.t. noise params is REVERSED.
+
+    Compare d(gender_loss)/d(locs) computed through the GRL model against the
+    same quantity with lambda=0 gradient flow replaced by a direct (no-GRL)
+    path: they must have opposite sign (scaled by lambda).
+    """
+    emo = Conv2dBiRNN(hidden_size=16, pred="emotion")
+    gen = Conv2dBiRNN(hidden_size=16, pred="gender")
+    x = jax.random.normal(KEY, (2, T, D, 1))
+    labels = jnp.array([0, 1])
+
+    def make(lam):
+        return CloakedModelGRL(
+            emotion_backbone=emo, gender_backbone=gen, grl_lambda=lam,
+            win_len=T, n_feats=D,
+        )
+
+    model = make(0.5)
+    variables = model.init({"params": KEY, "noise": KEY}, x)
+
+    def gender_loss(params, lam):
+        m = make(lam)
+        _, gl, _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, rngs={"noise": KEY},
+        )
+        onehot = jax.nn.one_hot(labels, 2)
+        return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(gl), axis=-1))
+
+    g_rev = jax.grad(gender_loss)(variables["params"], 0.5)["noise"]["locs"]
+    g_fwd = jax.grad(gender_loss)(variables["params"], -1.0)["noise"]["locs"]
+    # lambda=-1 flips the reversal back to a (scaled) forward gradient:
+    # g_rev = -0.5 * g_direct and g_fwd = +1.0 * g_direct
+    np.testing.assert_allclose(
+        np.asarray(g_rev), -0.5 * np.asarray(g_fwd), rtol=1e-4, atol=1e-7
+    )
+    # gender model's own params get NORMAL (non-reversed) gradients: equal
+    # regardless of lambda? No — lambda scales them too through the input path;
+    # but the head weights' grads do not pass the GRL at all.
+    g_head_rev = jax.grad(gender_loss)(variables["params"], 0.5)
+    g_head_fwd = jax.grad(gender_loss)(variables["params"], -1.0)
+    h1 = g_head_rev["gender_backbone"]["heads"]["pred_gender"]["kernel"]
+    h2 = g_head_fwd["gender_backbone"]["heads"]["pred_gender"]["kernel"]
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-4, atol=1e-7)
