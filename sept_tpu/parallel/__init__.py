@@ -1,0 +1,21 @@
+"""Parallelism: mesh setup, data-parallel shardings, multi-host init."""
+
+from sept_tpu.parallel.mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    pad_batch_to_multiple,
+    replicate_state,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "init_distributed",
+    "make_mesh",
+    "pad_batch_to_multiple",
+    "replicate_state",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,96 @@
+"""Typed experiment configuration.
+
+One dataclass replaces the reference's four overlapping argparse flag sets
+(e.g. /root/reference/training/training_cloak.py:193-218) plus its in-script
+hyperparameter grid (:229-241).  Presets mirror each reference entry point's
+defaults, including the subtle per-script learning-rate differences
+(SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["ExperimentConfig", "preset"]
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # data
+    dataset: str = "iemocap"
+    feature_type: str = "mel_spec"
+    feature_len: int = 128  # --input_spec_size
+    win_len: int = 200
+    shift: bool = True
+    norm: str = "znorm"
+    aug: Optional[str] = "emotion"
+    adv: bool = False  # train on the adversary splits
+
+    # model
+    model_type: str = "2d-cnn-lstm"
+    pred: str = "emotion"
+    hidden_size: int = 64
+    filter_size: int = 64
+    attention_size: int = 128
+    att: Optional[str] = None
+    global_feature: bool = False
+
+    # optimization
+    optimizer: str = "sgd"
+    learning_rate: float = 1e-4
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    batch_size: int = 32
+    num_epochs: int = 30
+    # StepLR params (sgd) — baselines: step 5 gamma 0.5
+    # (training_adversary_baselines.py:426); cloak: step 10
+    # (training_cloak.py:379)
+    lr_step_epochs: int = 5
+    lr_gamma: float = 0.5
+    # ReduceLROnPlateau params (adam)
+    plateau_patience: int = 5
+    plateau_factor: float = 0.2
+    early_stop_patience: int = 10
+    min_select_epoch: int = 10  # best-by-val-acc only after epoch 10 (:404)
+
+    # cloak
+    scale_lambda: float = 0.0
+    suppression_ratio: int = 0
+    grl: bool = False
+    grl_lambda: float = 0.1
+    gender_lambda: float = 0.1
+    noise_min_scale: float = 0.01
+    noise_max_scale: float = 10.0  # 5.0 at evaluation (adversary_cloak_evaluation.py:205)
+
+    # infra
+    seed: int = 8
+    n_folds: int = 5
+    output_dir: str = "results"
+
+    @property
+    def shift_len(self) -> int:
+        return self.win_len // 4
+
+
+_PRESETS = {
+    # training_adversary_baselines.py: SGD lr 1e-4 StepLR(5, 0.5), 100 epochs
+    # when sgd (:424-439); adam lr 5e-5
+    "baseline": dict(optimizer="sgd", learning_rate=1e-4, lr_step_epochs=5,
+                     num_epochs=100, pred="emotion", adv=False),
+    "adversary": dict(optimizer="sgd", learning_rate=1e-4, lr_step_epochs=5,
+                      num_epochs=100, pred="gender", adv=True),
+    # training_cloak.py: SGD lr 1e-3 StepLR(10, 0.5) (:377-379); adam 5e-4
+    "cloak": dict(optimizer="sgd", learning_rate=1e-3, lr_step_epochs=10,
+                  num_epochs=30, pred="emotion", scale_lambda=0.1),
+    # training_cloak_with_grl.py: same cloak schedule + GRL game (:227-228)
+    "cloak_grl": dict(optimizer="sgd", learning_rate=1e-3, lr_step_epochs=10,
+                      num_epochs=30, pred="emotion", scale_lambda=0.1,
+                      grl=True, grl_lambda=0.1, gender_lambda=0.1),
+}
+
+
+def preset(name: str, **overrides) -> ExperimentConfig:
+    cfg = dict(_PRESETS[name])
+    cfg.update(overrides)
+    return ExperimentConfig(**cfg)

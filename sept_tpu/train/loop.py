@@ -1,0 +1,290 @@
+"""Epoch / fold training drivers.
+
+Re-expresses the reference's training loops
+(/root/reference/training/training_adversary_baselines.py:440-460,
+training_cloak.py:391-442, training_cloak_with_grl.py:430-446) around jitted
+steps:
+
+- per-epoch: train pass, validation pass, sliding-vote test pass;
+- best-model selection by validation accuracy, only after
+  ``min_select_epoch`` (reference epoch > 10, :404 / :453-460);
+- early stopping on validation loss with patience 10 (:374, :440-442);
+- SGD StepLR decays inside the optax schedule; Adam's ReduceLROnPlateau is
+  host-side (PlateauScheduler + set_lr_scale), matching the
+  scheduler.step(val_loss) call placement (training_cloak.py:175-181);
+- combine-mode per-speaker loss weights from get_class_weight over
+  speaker+dataset counts (training_cloak.py:283-290), multiplied onto the
+  batch padding mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sept_tpu.data.pipeline import SplitArrays, batch_iterator
+from sept_tpu.eval import metrics as M
+from sept_tpu.eval.sliding import make_sliding_vote_fn
+from sept_tpu.train.config import ExperimentConfig
+from sept_tpu.train.optim import PlateauScheduler, set_lr_scale
+
+__all__ = [
+    "EarlyStopping",
+    "speaker_weights",
+    "run_train_epoch",
+    "run_eval_epoch",
+    "run_test",
+    "fit",
+    "FitResult",
+]
+
+
+class EarlyStopping:
+    """Patience counter on validation loss (training_tools.py:83-129)."""
+
+    def __init__(self, patience: int = 10, delta: float = 0.0):
+        self.patience = patience
+        self.delta = delta
+        self.best: Optional[float] = None
+        self.counter = 0
+        self.should_stop = False
+
+    def __call__(self, val_loss: float) -> bool:
+        score = -val_loss
+        if self.best is None:
+            self.best = score
+        elif score < self.best + self.delta:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.should_stop = True
+        else:
+            self.best = score
+            self.counter = 0
+        return self.should_stop
+
+
+def speaker_weights(split: SplitArrays) -> dict[str, float]:
+    """Per-(speaker, dataset) loss weights for combine mode
+    (training_cloak.py:283-290)."""
+    counts: dict[str, int] = {}
+    for spk, ds in zip(split.speaker_ids, split.datasets):
+        key = f"{spk}_{ds}"
+        counts[key] = counts.get(key, 0) + 1
+    return M.get_class_weight(counts)
+
+
+def _apply_speaker_weights(batch: dict, weights: Optional[dict[str, float]]):
+    if weights is None:
+        return batch
+    w = np.array(
+        [
+            weights.get(f"{spk}_{ds}", 1.0)
+            for spk, ds in zip(batch["speaker_ids"], batch["datasets"])
+        ],
+        dtype=np.float32,
+    )
+    out = dict(batch)
+    out["weight"] = batch["weight"] * w
+    return out
+
+
+def _device_batch(batch: dict) -> dict:
+    return {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if k not in ("speaker_ids", "datasets")
+    }
+
+
+def run_train_epoch(
+    step_fn: Callable,
+    state,
+    split: SplitArrays,
+    cfg: ExperimentConfig,
+    rng: np.random.Generator,
+    spk_weights: Optional[dict] = None,
+    mask=None,
+    label_key: Optional[str] = None,
+):
+    """One training pass; returns (state, {'loss', 'acc', 'uar', ...})."""
+    label_key = label_key or (
+        "labels_emo" if cfg.pred == "emotion" else "labels_gen"
+    )
+    losses, all_preds, all_truth, all_w = [], [], [], []
+    for batch in batch_iterator(split, cfg.batch_size, rng, shuffle=True):
+        batch = _apply_speaker_weights(batch, spk_weights)
+        db = _device_batch(batch)
+        if mask is not None:
+            state, m = step_fn(state, db, mask)
+        else:
+            state, m = step_fn(state, db)
+        losses.append(float(m["loss"]))
+        all_preds.append(np.asarray(m["preds"]))
+        all_truth.append(batch[label_key])
+        all_w.append(batch["weight"] > 0)
+    preds = np.concatenate(all_preds)[np.concatenate(all_w)]
+    truth = np.concatenate(all_truth)[np.concatenate(all_w)]
+    return state, {
+        "loss": float(np.mean(losses)),
+        "acc": M.accuracy(truth, preds),
+        "uar": M.uar(truth, preds),
+        "conf": M.confusion(truth, preds),
+    }
+
+
+def run_eval_epoch(
+    logits_fn: Callable,
+    state,
+    split: SplitArrays,
+    cfg: ExperimentConfig,
+    label_key: Optional[str] = None,
+):
+    """Validation pass (eval-mode forward, windowed batches)."""
+    label_key = label_key or (
+        "labels_emo" if cfg.pred == "emotion" else "labels_gen"
+    )
+    rng = np.random.default_rng(0)
+    losses, all_preds, all_truth, all_w = [], [], [], []
+    for batch in batch_iterator(split, cfg.batch_size, rng, shuffle=False):
+        db = _device_batch(batch)
+        logits = logits_fn(
+            state.params, state.batch_stats, db["spec"], db.get("global")
+        )
+        logp = jax.nn.log_softmax(logits)
+        labels = db[label_key]
+        w = db["weight"]
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        losses.append(float(jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)))
+        all_preds.append(np.asarray(jnp.argmax(logits, -1)))
+        all_truth.append(batch[label_key])
+        all_w.append(batch["weight"] > 0)
+    preds = np.concatenate(all_preds)[np.concatenate(all_w)]
+    truth = np.concatenate(all_truth)[np.concatenate(all_w)]
+    return {
+        "loss": float(np.mean(losses)),
+        "acc": M.accuracy(truth, preds),
+        "uar": M.uar(truth, preds),
+    }
+
+
+def run_test(
+    logits_fn: Callable,
+    state,
+    test: SplitArrays,
+    cfg: ExperimentConfig,
+    label_key: Optional[str] = None,
+    batch_size: int = 16,
+):
+    """Sliding-window vote over whole test utterances
+    (training_cloak.py:66-81 protocol, batched + vmapped)."""
+    label_key = label_key or (
+        "labels_emo" if cfg.pred == "emotion" else "labels_gen"
+    )
+
+    def window_logits(wins, g):
+        return logits_fn(state.params, state.batch_stats, wins, g)
+
+    vote = make_sliding_vote_fn(window_logits, cfg.win_len, cfg.shift_len)
+    preds = []
+    n = len(test)
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        pad = batch_size - (hi - lo)
+        specs = test.windows[lo:hi]
+        lengths = test.lengths[lo:hi]
+        g = test.global_data[lo:hi] if cfg.global_feature else None
+        if pad:
+            specs = np.concatenate([specs, np.zeros((pad,) + specs.shape[1:], specs.dtype)])
+            lengths = np.concatenate([lengths, np.full(pad, cfg.win_len, np.int32)])
+            if g is not None:
+                g = np.concatenate([g, np.zeros((pad, g.shape[1]), g.dtype)])
+        probs, _ = vote(specs, lengths, g)
+        preds.append(np.asarray(jnp.argmax(probs, -1))[: hi - lo])
+    preds = np.concatenate(preds) if preds else np.zeros(0, np.int64)
+    truth = getattr(test, label_key)
+    return {
+        "acc": M.accuracy(truth, preds),
+        "uar": M.uar(truth, preds),
+        "conf": M.confusion(truth, preds),
+        "preds": preds,
+        "truth": truth,
+    }
+
+
+@dataclasses.dataclass
+class FitResult:
+    best_state: object
+    best_epoch: int
+    best_val_acc: float
+    final_test_acc: float
+    final_test_uar: float
+    final_confusion: np.ndarray
+    history: list
+
+
+def fit(
+    state,
+    step_fn: Callable,
+    logits_fn: Callable,
+    train_split: SplitArrays,
+    val_split: SplitArrays,
+    test_split: SplitArrays,
+    cfg: ExperimentConfig,
+    spk_weights: Optional[dict] = None,
+    mask=None,
+    verbose: bool = True,
+) -> FitResult:
+    """The reference's per-fold epoch loop with best-model tracking."""
+    rng = np.random.default_rng(cfg.seed)
+    early = EarlyStopping(patience=cfg.early_stop_patience)
+    plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
+
+    best_val_acc, best_epoch = 0.0, 0
+    best_state = state
+    final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
+    history = []
+    for epoch in range(cfg.num_epochs):
+        state, train_m = run_train_epoch(
+            step_fn, state, train_split, cfg, rng, spk_weights, mask
+        )
+        val_m = run_eval_epoch(logits_fn, state, val_split, cfg)
+        test_m = run_test(logits_fn, state, test_split, cfg)
+        history.append({"train": train_m, "validate": val_m, "test": test_m})
+
+        if cfg.optimizer == "adam":
+            scale = plateau.step(val_m["loss"])
+            state = dataclasses.replace(
+                state, opt_state=set_lr_scale(state.opt_state, scale)
+            )
+
+        if val_m["acc"] > best_val_acc and epoch > cfg.min_select_epoch:
+            best_val_acc = val_m["acc"]
+            best_epoch = epoch
+            best_state = state
+            final = test_m
+
+        if verbose:
+            print(
+                f"epoch {epoch}: train loss {train_m['loss']:.4f} "
+                f"acc {train_m['acc']:.3f} | val acc {val_m['acc']:.3f} "
+                f"| test acc {test_m['acc']:.3f} uar {test_m['uar']:.3f}"
+            )
+
+        if epoch > cfg.min_select_epoch and early(val_m["loss"]):
+            if verbose:
+                print("early stopping")
+            break
+
+    return FitResult(
+        best_state=best_state,
+        best_epoch=best_epoch,
+        best_val_acc=best_val_acc,
+        final_test_acc=final["acc"],
+        final_test_uar=final["uar"],
+        final_confusion=final["conf"],
+        history=history,
+    )

@@ -1,0 +1,158 @@
+"""Optimizers, LR schedules, and parameter-partition freezing.
+
+Replaces the reference's torch optimizer setups:
+
+- SGD(momentum=0.9, weight_decay=1e-4) + StepLR
+  (training_adversary_baselines.py:424-426, training_cloak.py:377-379)
+- Adam(betas=(0.9, 0.98), eps=1e-9, weight_decay=1e-4) + ReduceLROnPlateau
+  (training_adversary_baselines.py:427-429, training_cloak.py:380-382)
+
+The reference freezes the cloak's backbone by mutating ``requires_grad`` and
+filtering the optimizer's parameter list (training_cloak.py:377-384).  The
+TPU-native expression is an ``optax.multi_transform`` over a parameter-path
+partition: frozen subtrees get ``optax.set_to_zero()`` while gradients still
+flow *through* them into the trainable noise parameters (SURVEY.md §7 hard
+part 3).
+
+Learning-rate scale for ReduceLROnPlateau is injected host-side through
+``optax.inject_hyperparams`` — the plateau decision is control flow around
+the jitted step, never inside it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import optax
+
+from sept_tpu.train.config import ExperimentConfig
+
+__all__ = [
+    "make_optimizer",
+    "make_cloak_optimizer",
+    "partition_labels",
+    "PlateauScheduler",
+    "set_lr_scale",
+]
+
+
+def _base_tx(cfg: ExperimentConfig, schedule) -> optax.GradientTransformation:
+    if cfg.optimizer == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(learning_rate=schedule, momentum=cfg.momentum),
+        )
+    if cfg.optimizer == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.adam(learning_rate=schedule, b1=0.9, b2=0.98, eps=1e-9),
+        )
+    raise ValueError(f"unknown optimizer: {cfg.optimizer!r}")
+
+
+def make_schedule(cfg: ExperimentConfig, steps_per_epoch: int):
+    """StepLR for SGD (epoch-granular staircase decay); constant base LR for
+    Adam (plateau scaling happens via lr_scale injection)."""
+    if cfg.optimizer == "sgd":
+        return optax.exponential_decay(
+            init_value=cfg.learning_rate,
+            transition_steps=max(1, cfg.lr_step_epochs * steps_per_epoch),
+            decay_rate=cfg.lr_gamma,
+            staircase=True,
+        )
+    return cfg.learning_rate
+
+
+@optax.inject_hyperparams
+def _scaled(lr_scale: float) -> optax.GradientTransformation:
+    return optax.scale(lr_scale)
+
+
+def make_optimizer(
+    cfg: ExperimentConfig, steps_per_epoch: int
+) -> optax.GradientTransformation:
+    """Full-model optimizer (baseline / adversary training)."""
+    return optax.chain(
+        _base_tx(cfg, make_schedule(cfg, steps_per_epoch)), _scaled(1.0)
+    )
+
+
+def partition_labels(params, trainable_prefixes: Iterable[str]):
+    """Label each top-level parameter subtree 'trainable' or 'frozen'."""
+    prefixes = tuple(trainable_prefixes)
+    return {
+        k: ("trainable" if k in prefixes else "frozen") for k in params
+    }
+
+
+def make_cloak_optimizer(
+    cfg: ExperimentConfig,
+    steps_per_epoch: int,
+    params,
+    trainable_prefixes: Iterable[str] = ("noise",),
+) -> optax.GradientTransformation:
+    """Optimizer updating only the cloak-trainable partition.
+
+    For the plain cloak: only 'noise'.  For the GRL game: ('noise',
+    'gender_backbone') — the frozen emotion backbone gets zero updates
+    (training_cloak_with_grl.py:416-421).
+    """
+    labels = partition_labels(params, trainable_prefixes)
+    return optax.chain(
+        optax.multi_transform(
+            {
+                "trainable": _base_tx(cfg, make_schedule(cfg, steps_per_epoch)),
+                "frozen": optax.set_to_zero(),
+            },
+            labels,
+        ),
+        _scaled(1.0),
+    )
+
+
+def set_lr_scale(opt_state, scale: float):
+    """Host-side plateau scaling: rewrite the injected lr_scale hyperparam.
+
+    The injected transform is an element of the top-level optax chain; its
+    state carries a ``hyperparams`` dict holding ``lr_scale``.
+    """
+    import jax.numpy as jnp
+
+    new_states = []
+    for s in opt_state:
+        if hasattr(s, "hyperparams") and "lr_scale" in s.hyperparams:
+            hp = dict(s.hyperparams)
+            hp["lr_scale"] = jnp.asarray(scale, dtype=hp["lr_scale"].dtype)
+            s = s._replace(hyperparams=hp)
+        new_states.append(s)
+    return tuple(new_states)
+
+
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (mode='min').
+
+    Mirrors torch's semantics as used by the reference: patience epochs
+    without val-loss improvement -> multiply LR by ``factor``
+    (training_adversary_baselines.py:429, training_cloak.py:382).
+    """
+
+    def __init__(self, patience: int = 5, factor: float = 0.2, min_scale: float = 1e-4):
+        self.patience = patience
+        self.factor = factor
+        self.min_scale = min_scale
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, val_loss: float) -> float:
+        """Record an epoch's validation loss; returns the current LR scale."""
+        if self.best is None or val_loss < self.best:
+            self.best = val_loss
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.bad_epochs = 0
+        return self.scale

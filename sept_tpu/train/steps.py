@@ -1,0 +1,270 @@
+"""Jitted train / eval steps for every workload.
+
+Each reference training loop's per-batch body (H2D copy, forward, Python-loop
+weighted CE, backward, step — e.g.
+/root/reference/training/training_adversary_baselines.py:156-187) becomes ONE
+jitted ``train_step(state, batch, ...) -> (state, metrics)`` with donated
+state buffers.  Losses:
+
+- baseline/adversary: per-sample weighted CE averaged over real samples
+  (padding rows carry weight 0; combine-mode speaker weights ride the same
+  vector — training_cloak.py:136-143);
+- cloak: weighted CE - scale_lambda * log(mean(scales)) (the sigma-maximizing
+  regularizer, applied only when suppression_ratio == 0,
+  training_cloak.py:145-147);
+- cloak+GRL: weighted emotion CE + gender_lambda * gender CE (reversed into
+  the noise by the GRL) - scale_lambda * log(mean(scales))
+  (training_cloak_with_grl.py:141-162) — the whole minimax game is a single
+  fused backward.
+
+All steps are sharding-agnostic: under a Mesh with batch-sharded inputs and
+replicated params, XLA inserts the gradient psums over ICI (sept_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "TrainState",
+    "init_state",
+    "weighted_ce",
+    "make_baseline_step",
+    "make_eval_logits_fn",
+    "make_cloak_step",
+    "make_cloak_grl_step",
+    "cloak_scales",
+]
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+def init_state(
+    model, tx, rng, sample_batch, use_global: bool = False, **apply_kwargs
+) -> TrainState:
+    """Jitted model init + optimizer init.
+
+    ``use_global`` must match the step's setting — the dense1 input width
+    depends on whether the 88-dim global feature is concatenated
+    (baseline_models.py:208).
+    """
+    p_rng, d_rng, n_rng, run_rng = jax.random.split(rng, 4)
+
+    @jax.jit
+    def _init(x, g):
+        return model.init(
+            {"params": p_rng, "dropout": d_rng, "noise": n_rng},
+            x,
+            global_feature=g,
+            train=True,
+            **apply_kwargs,
+        )
+
+    variables = _init(
+        sample_batch["spec"], sample_batch.get("global") if use_global else None
+    )
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", flax.core.freeze({}).unfreeze()),
+        opt_state=tx.init(params),
+        rng=run_rng,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def weighted_ce(logits: jax.Array, labels: jax.Array, weights: jax.Array) -> jax.Array:
+    """Per-sample weighted cross entropy, averaged over total weight."""
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1e-8)
+
+
+def _metrics(logits, labels, weights, loss):
+    preds = jnp.argmax(logits, axis=-1)
+    correct = jnp.sum((preds == labels) * weights)
+    return {
+        "loss": loss,
+        "correct": correct,
+        "count": jnp.sum(weights),
+        "preds": preds,
+    }
+
+
+def make_baseline_step(
+    model, tx, use_global: bool = False
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Jitted supervised step for baseline / adversary training."""
+
+    label_key = "labels_emo" if model.pred == "emotion" else "labels_gen"
+
+    @jax.jit
+    def step(state: TrainState, batch: dict):
+        rng, d_rng = jax.random.split(state.rng)
+        g = batch["global"] if use_global else None
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["spec"],
+                global_feature=g,
+                train=True,
+                rngs={"dropout": d_rng},
+                mutable=["batch_stats"],
+            )
+            loss = weighted_ce(out, batch[label_key], batch["weight"])
+            return loss, (out, mut)
+
+        (loss, (logits, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=mut["batch_stats"],
+            opt_state=opt_state,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, _metrics(logits, batch[label_key], batch["weight"], loss)
+
+    return step
+
+
+def make_eval_logits_fn(model, use_global: bool = False, **apply_kwargs):
+    """Jitted eval forward: (params, batch_stats, spec, global) -> logits."""
+
+    @jax.jit
+    def fn(params, batch_stats, spec, global_feature=None):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            spec,
+            global_feature=global_feature if use_global else None,
+            train=False,
+            **apply_kwargs,
+        )
+
+    return fn
+
+
+def cloak_scales(model, params) -> jax.Array:
+    """Current noise scales from a cloak model's params (tanh squash)."""
+    rhos = params["noise"]["rhos"]
+    return (1.0 + jnp.tanh(rhos)) / 2.0 * (
+        model.max_scale - 0.01
+    ) + 0.01
+
+
+def make_cloak_step(
+    model,
+    tx,
+    scale_lambda: float = 0.0,
+    use_global: bool = False,
+    apply_scale_reg: bool = True,
+    pooling: Optional[str] = "mean",
+):
+    """Jitted cloak step: only noise params move (tx is partition-frozen)."""
+
+    label_key = "labels_emo" if model.backbone.pred == "emotion" else "labels_gen"
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, mask: Optional[jax.Array] = None):
+        rng, n_rng = jax.random.split(state.rng)
+        g = batch["global"] if use_global else None
+
+        def loss_fn(params):
+            logits, _noisy = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["spec"],
+                global_feature=g,
+                mask=mask,
+                train=True,
+                pooling=pooling,
+                rngs={"noise": n_rng},
+            )
+            loss = weighted_ce(logits, batch[label_key], batch["weight"])
+            if apply_scale_reg and scale_lambda:
+                scale_loss = jnp.log(jnp.mean(cloak_scales(model, params)))
+                loss = loss - scale_lambda * scale_loss
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = dataclasses.replace(
+            state, params=params, opt_state=opt_state, rng=rng, step=state.step + 1
+        )
+        return new_state, _metrics(logits, batch[label_key], batch["weight"], loss)
+
+    return step
+
+
+def make_cloak_grl_step(
+    model,
+    tx,
+    scale_lambda: float = 0.0,
+    gender_lambda: float = 0.1,
+    use_global: bool = False,
+    apply_scale_reg: bool = True,
+    pooling: Optional[str] = "mean",
+):
+    """Jitted cloak+GRL minimax step (noise + gender adversary update)."""
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, mask: Optional[jax.Array] = None):
+        rng, n_rng, d_rng = jax.random.split(state.rng, 3)
+        g = batch["global"] if use_global else None
+
+        def loss_fn(params):
+            (emo_logits, gen_logits, _noisy), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["spec"],
+                global_feature=g,
+                mask=mask,
+                train=True,
+                pooling=pooling,
+                rngs={"noise": n_rng, "dropout": d_rng},
+                mutable=["batch_stats"],
+            )
+            emo_loss = weighted_ce(emo_logits, batch["labels_emo"], batch["weight"])
+            gen_loss = weighted_ce(gen_logits, batch["labels_gen"], batch["weight"])
+            loss = emo_loss + gender_lambda * gen_loss
+            if apply_scale_reg and scale_lambda:
+                loss = loss - scale_lambda * jnp.log(
+                    jnp.mean(cloak_scales(model, params))
+                )
+            return loss, (emo_logits, gen_logits, mut)
+
+        (loss, (emo_logits, gen_logits, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=mut["batch_stats"],
+            opt_state=opt_state,
+            rng=rng,
+            step=state.step + 1,
+        )
+        m = _metrics(emo_logits, batch["labels_emo"], batch["weight"], loss)
+        m["gender_correct"] = jnp.sum(
+            (jnp.argmax(gen_logits, -1) == batch["labels_gen"]) * batch["weight"]
+        )
+        return new_state, m
+
+    return step

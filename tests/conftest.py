@@ -7,15 +7,25 @@ fake-backend pattern for testing multi-chip sharding without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, don't setdefault: the environment's sitecustomize registers the
+# tunneled-TPU ("axon") PJRT plugin for every interpreter and selects it via
+# jax config, so the env var alone is NOT enough — override the config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture
