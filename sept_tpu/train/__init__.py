@@ -23,6 +23,7 @@ from sept_tpu.train.steps import (
     init_state,
     make_baseline_step,
     make_cloak_grl_step,
+    make_epoch_runner,
     make_cloak_step,
     make_eval_logits_fn,
     weighted_ce,
@@ -39,6 +40,7 @@ __all__ = [
     "init_state",
     "make_baseline_step",
     "make_cloak_grl_step",
+    "make_epoch_runner",
     "make_cloak_optimizer",
     "make_cloak_step",
     "make_eval_logits_fn",

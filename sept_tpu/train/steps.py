@@ -24,6 +24,7 @@ replicated params, XLA inserts the gradient psums over ICI (sept_tpu.parallel).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional
 
 import flax
@@ -36,6 +37,7 @@ __all__ = [
     "init_state",
     "weighted_ce",
     "make_baseline_step",
+    "make_epoch_runner",
     "make_eval_logits_fn",
     "make_cloak_step",
     "make_cloak_grl_step",
@@ -143,6 +145,64 @@ def make_baseline_step(
         return new_state, _metrics(logits, batch[label_key], batch["weight"], loss)
 
     return step
+
+
+def make_epoch_runner(model, tx, use_global: bool = False):
+    """Whole-epoch trainer as ONE device program (lax.scan over batches).
+
+    For device-resident datasets (sept_tpu.data.device_pipeline): a Python
+    per-step loop pays host dispatch latency per batch — expensive over a
+    tunneled chip — while a scan runs every step back-to-back on device and
+    returns only per-batch scalar metrics.
+
+    Returns ``run(state, windows (M, T, D), labels (M,), weights (M,),
+    order (M,), n_batches, batch_size) -> (state, losses, correct, counts)``.
+    """
+
+    label_is_emotion = model.pred == "emotion"
+
+    @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
+    def run(state, windows, labels, weights, order, *, n_batches, batch_size):
+        def body(carry, i):
+            st = carry
+            idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
+            spec = windows[idx][..., None]
+            lab = labels[idx]
+            w = weights[idx]
+            rng, d_rng = jax.random.split(st.rng)
+
+            def loss_fn(params):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": st.batch_stats},
+                    spec,
+                    train=True,
+                    rngs={"dropout": d_rng},
+                    mutable=["batch_stats"],
+                )
+                return weighted_ce(out, lab, w), (out, mut)
+
+            (loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            new_st = TrainState(
+                params=params,
+                batch_stats=mut["batch_stats"],
+                opt_state=opt_state,
+                rng=rng,
+                step=st.step + 1,
+            )
+            correct = jnp.sum((jnp.argmax(logits, -1) == lab) * w)
+            return new_st, (loss, correct, jnp.sum(w))
+
+        state, (losses, correct, counts) = jax.lax.scan(
+            body, state, jnp.arange(n_batches)
+        )
+        return state, losses, correct, counts
+
+    del label_is_emotion
+    return run
 
 
 def make_eval_logits_fn(model, use_global: bool = False, **apply_kwargs):
