@@ -1,0 +1,285 @@
+// septio — native IO runtime for sept_tpu.
+//
+// TPU-native equivalent of the native code the reference pipeline leans on
+// through its Python dependencies (torchaudio's C++ WAV decode + resampler,
+// /root/reference/feature_extraction/audio_feature_extraction.py:139-141,182):
+//
+//   - RIFF/WAVE parsing (PCM 8/16/24/32-bit int and float32), mono-mix
+//   - polyphase-free windowed-sinc resampling to 16 kHz (Kaiser window),
+//     matching torchaudio's sinc_interp_hann quality class
+//   - a pthread pool for batch decode: the host side of the host->HBM
+//     streaming pipeline feeds waveforms while the TPU runs the GEMM frontend
+//
+// Exposed as a C ABI consumed from Python via ctypes (sept_tpu/runtime).
+// Build: cc -O3 -shared -fPIC -o libseptio.so septio.cpp -lpthread -lm
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <pthread.h>
+#include <vector>
+
+namespace {
+
+struct WavData {
+  std::vector<float> samples;  // mono
+  int sample_rate = 0;
+};
+
+// --------------------------------------------------------------------------
+// RIFF/WAVE parsing
+// --------------------------------------------------------------------------
+
+uint32_t rd_u32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+uint16_t rd_u16(const uint8_t* p) {
+  return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
+}
+
+bool parse_wav(const uint8_t* buf, size_t len, WavData* out) {
+  if (len < 44 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
+    return false;
+  size_t pos = 12;
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  const uint8_t* data = nullptr;
+  size_t data_len = 0;
+  while (pos + 8 <= len) {
+    uint32_t chunk_len = rd_u32(buf + pos + 4);
+    if (memcmp(buf + pos, "fmt ", 4) == 0 && pos + 8 + 16 <= len) {
+      fmt = rd_u16(buf + pos + 8);
+      channels = rd_u16(buf + pos + 10);
+      rate = rd_u32(buf + pos + 12);
+      bits = rd_u16(buf + pos + 22);
+      if (fmt == 0xFFFE && chunk_len >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+        fmt = rd_u16(buf + pos + 8 + 24);
+      }
+    } else if (memcmp(buf + pos, "data", 4) == 0) {
+      data = buf + pos + 8;
+      data_len = chunk_len;
+      if (data + data_len > buf + len) data_len = buf + len - data;
+    }
+    pos += 8 + chunk_len + (chunk_len & 1);
+  }
+  if (!data || !channels || !rate || !bits) return false;
+
+  size_t bytes_per = bits / 8;
+  size_t n_frames = data_len / (bytes_per * channels);
+  out->sample_rate = (int)rate;
+  out->samples.resize(n_frames);
+  const float inv_ch = 1.0f / (float)channels;
+  for (size_t i = 0; i < n_frames; i++) {
+    float acc = 0.0f;
+    for (int c = 0; c < channels; c++) {
+      const uint8_t* s = data + (i * channels + c) * bytes_per;
+      float v = 0.0f;
+      if (fmt == 3 && bits == 32) {  // IEEE float
+        float f;
+        memcpy(&f, s, 4);
+        v = f;
+      } else if (bits == 16) {
+        int16_t x = (int16_t)rd_u16(s);
+        v = (float)x / 32768.0f;
+      } else if (bits == 8) {
+        v = ((float)s[0] - 128.0f) / 128.0f;
+      } else if (bits == 24) {
+        int32_t x = (int32_t)((uint32_t)s[0] << 8 | (uint32_t)s[1] << 16 |
+                              (uint32_t)s[2] << 24) >> 8;
+        v = (float)x / 8388608.0f;
+      } else if (bits == 32) {
+        int32_t x;
+        memcpy(&x, s, 4);
+        v = (float)x / 2147483648.0f;
+      }
+      acc += v;
+    }
+    out->samples[i] = acc * inv_ch;
+  }
+  return true;
+}
+
+// --------------------------------------------------------------------------
+// Windowed-sinc resampling (Kaiser beta=14.77, 64 zero crossings / side)
+// --------------------------------------------------------------------------
+
+double bessel_i0(double x) {
+  double sum = 1.0, term = 1.0;
+  for (int k = 1; k < 64; k++) {
+    term *= (x / (2.0 * k)) * (x / (2.0 * k));
+    sum += term;
+    if (term < 1e-16 * sum) break;
+  }
+  return sum;
+}
+
+void resample(const std::vector<float>& in, int sr_in, int sr_out,
+              std::vector<float>* out) {
+  if (sr_in == sr_out) {
+    *out = in;
+    return;
+  }
+  const double ratio = (double)sr_out / (double)sr_in;
+  const double cutoff = 0.99 * 0.5 * std::min(1.0, ratio);  // in input units
+  const int zeros = 24;
+  const double beta = 14.769656459379492;
+  const double i0b = bessel_i0(beta);
+  const size_t n_out = (size_t)((double)in.size() * ratio);
+  out->assign(n_out, 0.0f);
+  const double width = zeros / (2.0 * cutoff);
+
+  for (size_t j = 0; j < n_out; j++) {
+    const double t_in = (double)j / ratio;  // position in input samples
+    const long lo = (long)std::ceil(t_in - width);
+    const long hi = (long)std::floor(t_in + width);
+    double acc = 0.0;
+    for (long i = std::max(0L, lo); i <= std::min((long)in.size() - 1, hi); i++) {
+      const double d = (t_in - (double)i) * 2.0 * cutoff;  // sinc argument
+      double sinc = (d == 0.0) ? 1.0 : std::sin(M_PI * d) / (M_PI * d);
+      const double frac = (t_in - (double)i) / width;
+      double kais = 0.0;
+      if (frac > -1.0 && frac < 1.0)
+        kais = bessel_i0(beta * std::sqrt(1.0 - frac * frac)) / i0b;
+      acc += (double)in[i] * sinc * kais;
+    }
+    (*out)[j] = (float)(acc * 2.0 * cutoff);
+  }
+}
+
+// --------------------------------------------------------------------------
+// Thread pool for batch decode
+// --------------------------------------------------------------------------
+
+struct Job {
+  const char* path;
+  int target_sr;
+  float* out_buf;     // caller-allocated, max_len floats
+  int64_t max_len;
+  int64_t* out_len;   // actual length written (0 on failure)
+  int* out_sr;
+};
+
+struct Pool {
+  std::vector<Job>* jobs;
+  pthread_mutex_t mu;
+  size_t next = 0;
+};
+
+bool decode_file(const char* path, int target_sr, float* out_buf,
+                 int64_t max_len, int64_t* out_len, int* out_sr) {
+  *out_len = 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(sz);
+  if (fread(buf.data(), 1, sz, f) != (size_t)sz) {
+    fclose(f);
+    return false;
+  }
+  fclose(f);
+  WavData wav;
+  if (!parse_wav(buf.data(), buf.size(), &wav)) return false;
+  std::vector<float> res;
+  const std::vector<float>* sel = &wav.samples;
+  if (target_sr > 0 && wav.sample_rate != target_sr) {
+    resample(wav.samples, wav.sample_rate, target_sr, &res);
+    sel = &res;
+  }
+  int64_t n = (int64_t)sel->size();
+  if (n > max_len) n = max_len;
+  memcpy(out_buf, sel->data(), n * sizeof(float));
+  *out_len = n;
+  *out_sr = (target_sr > 0) ? target_sr : wav.sample_rate;
+  return true;
+}
+
+void* worker(void* arg) {
+  Pool* pool = (Pool*)arg;
+  for (;;) {
+    pthread_mutex_lock(&pool->mu);
+    if (pool->next >= pool->jobs->size()) {
+      pthread_mutex_unlock(&pool->mu);
+      return nullptr;
+    }
+    Job& job = (*pool->jobs)[pool->next++];
+    pthread_mutex_unlock(&pool->mu);
+    decode_file(job.path, job.target_sr, job.out_buf, job.max_len, job.out_len,
+                job.out_sr);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one WAV file; returns 1 on success.
+int septio_decode(const char* path, int target_sr, float* out_buf,
+                  int64_t max_len, int64_t* out_len, int* out_sr) {
+  return decode_file(path, target_sr, out_buf, max_len, out_len, out_sr) ? 1 : 0;
+}
+
+// Decode a batch of WAV files with n_threads workers.  Buffers are rows of a
+// caller-allocated (n, max_len) float32 matrix.  lengths[i] = 0 marks failure.
+void septio_decode_batch(const char** paths, int n, int target_sr,
+                         float* out_mat, int64_t max_len, int64_t* lengths,
+                         int* rates, int n_threads) {
+  std::vector<Job> jobs(n);
+  for (int i = 0; i < n; i++) {
+    jobs[i] = Job{paths[i], target_sr, out_mat + (int64_t)i * max_len, max_len,
+                  &lengths[i], &rates[i]};
+  }
+  Pool pool;
+  pool.jobs = &jobs;
+  pool.next = 0;
+  pthread_mutex_init(&pool.mu, nullptr);
+  int nt = n_threads < 1 ? 1 : n_threads;
+  std::vector<pthread_t> threads(nt);
+  for (int t = 0; t < nt; t++) pthread_create(&threads[t], nullptr, worker, &pool);
+  for (int t = 0; t < nt; t++) pthread_join(threads[t], nullptr);
+  pthread_mutex_destroy(&pool.mu);
+}
+
+// Synthesize a WAV file (PCM16) — used by tests and the synthetic corpus.
+int septio_write_wav(const char* path, const float* samples, int64_t n,
+                     int sample_rate) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return 0;
+  uint32_t data_len = (uint32_t)(n * 2);
+  uint32_t riff_len = 36 + data_len;
+  uint8_t hdr[44];
+  memcpy(hdr, "RIFF", 4);
+  memcpy(hdr + 4, &riff_len, 4);
+  memcpy(hdr + 8, "WAVEfmt ", 8);
+  uint32_t fmt_len = 16;
+  memcpy(hdr + 16, &fmt_len, 4);
+  uint16_t fmt = 1, ch = 1, bits = 16;
+  uint32_t rate = (uint32_t)sample_rate;
+  uint32_t byte_rate = rate * 2;
+  uint16_t block = 2;
+  memcpy(hdr + 20, &fmt, 2);
+  memcpy(hdr + 22, &ch, 2);
+  memcpy(hdr + 24, &rate, 4);
+  memcpy(hdr + 28, &byte_rate, 4);
+  memcpy(hdr + 32, &block, 2);
+  memcpy(hdr + 34, &bits, 2);
+  memcpy(hdr + 36, "data", 4);
+  memcpy(hdr + 40, &data_len, 4);
+  fwrite(hdr, 1, 44, f);
+  std::vector<int16_t> pcm(n);
+  for (int64_t i = 0; i < n; i++) {
+    float v = samples[i];
+    if (v > 1.0f) v = 1.0f;
+    if (v < -1.0f) v = -1.0f;
+    pcm[i] = (int16_t)lrintf(v * 32767.0f);
+  }
+  fwrite(pcm.data(), 2, n, f);
+  fclose(f);
+  return 1;
+}
+
+}  // extern "C"

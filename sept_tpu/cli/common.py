@@ -1,0 +1,85 @@
+"""Shared CLI plumbing: argparse <-> ExperimentConfig, seeding, paths."""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+from sept_tpu.train.config import ExperimentConfig
+
+__all__ = ["add_common_args", "config_from_args", "setup_seed"]
+
+
+def setup_seed(seed: int = 8) -> np.random.Generator:
+    """Global determinism (the reference's setup_seed(8),
+    utils/training_tools.py:69-74); JAX randomness is threaded explicitly."""
+    np.random.seed(seed)
+    random.seed(seed)
+    return np.random.default_rng(seed)
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    """Flags mirroring the reference scripts' shared argparse surface
+    (training_cloak.py:193-218)."""
+    p.add_argument("--dataset", default="iemocap",
+                   help="iemocap | crema-d | msp-improv | synthetic")
+    p.add_argument("--corpus_root", default=None,
+                   help="corpus root dir (required for real corpora)")
+    p.add_argument("--feature_type", default="mel_spec")
+    p.add_argument("--input_spec_size", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--num_epochs", type=int, default=30)
+    p.add_argument("--model_type", default="2d-cnn-lstm")
+    p.add_argument("--pred", default="emotion")
+    p.add_argument("--global_feature", type=int, default=0)
+    p.add_argument("--norm", default="znorm")
+    p.add_argument("--aug", default="emotion")
+    p.add_argument("--win_len", type=int, default=200)
+    p.add_argument("--optimizer", default="sgd")
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--att", default=None)
+    p.add_argument("--adv", type=int, default=0)
+    p.add_argument("--hidden_size", type=int, default=64)
+    p.add_argument("--suppression_ratio", type=int, default=0)
+    p.add_argument("--scale_lamda", type=float, default=0.0)
+    p.add_argument("--grl_lambda", type=float, default=0.1)
+    p.add_argument("--gender_lambda", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=8)
+    p.add_argument("--folds", type=int, nargs="*", default=None,
+                   help="1-based fold numbers to run (default: all 5)")
+    p.add_argument("--output_dir", default="results")
+    p.add_argument("--work_dir", default="work",
+                   help="where features/folds are stored")
+
+
+def config_from_args(args, **overrides) -> ExperimentConfig:
+    cfg = ExperimentConfig(
+        dataset=args.dataset,
+        feature_type=args.feature_type,
+        feature_len=args.input_spec_size,
+        win_len=args.win_len,
+        norm=args.norm,
+        aug=args.aug or None,
+        adv=bool(args.adv),
+        model_type=args.model_type,
+        pred=args.pred,
+        hidden_size=args.hidden_size,
+        att=args.att,
+        global_feature=bool(args.global_feature),
+        optimizer=args.optimizer,
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        scale_lambda=args.scale_lamda,
+        suppression_ratio=args.suppression_ratio,
+        grl_lambda=args.grl_lambda,
+        gender_lambda=args.gender_lambda,
+        seed=args.seed,
+        output_dir=args.output_dir,
+    )
+    if args.learning_rate is not None:
+        cfg.learning_rate = args.learning_rate
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg

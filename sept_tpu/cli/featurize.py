@@ -1,0 +1,69 @@
+"""CLI: corpus featurization (mirrors
+/root/reference/feature_extraction/audio_feature_extraction.py).
+
+    python -m sept_tpu.cli.featurize --dataset synthetic --work_dir work
+    python -m sept_tpu.cli.featurize --dataset iemocap --corpus_root /data/IEMOCAP
+
+Decodes audio with the native septio runtime (batch, threaded), featurizes on
+TPU as batched GEMM chains, and writes ``<work_dir>/feature/<type>/<dataset>/
+data_<len>.npz`` plus the manifest — the npz equivalent of the reference's
+``feature/<type>/<dataset>/data_<len>.pkl`` (:191-194).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from sept_tpu.cli.common import add_common_args, setup_seed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--n_speakers", type=int, default=10,
+                   help="synthetic corpus size")
+    p.add_argument("--utts_per_speaker", type=int, default=12)
+    args = p.parse_args(argv)
+    setup_seed(args.seed)
+
+    from sept_tpu.data.featurize import featurize_corpus
+    from sept_tpu.data.store import save_feature_store, save_manifest
+
+    if args.dataset == "synthetic":
+        from sept_tpu.data.synthetic import make_corpus
+
+        corpus = make_corpus(args.n_speakers, args.utts_per_speaker, args.seed)
+        manifest, waveforms = corpus.manifest, corpus.waveforms
+    else:
+        if not args.corpus_root:
+            p.error(f"--corpus_root is required for dataset {args.dataset!r}")
+        from sept_tpu.data.walkers import walk_corpus
+        from sept_tpu.runtime import decode_batch
+
+        manifest = walk_corpus(args.dataset, args.corpus_root)
+        paths = [u.path for u in manifest]
+        mat, lens = decode_batch(paths, target_sr=16000)
+        waveforms = {
+            u.utt_id: mat[i, : lens[i]]
+            for i, u in enumerate(manifest)
+            if lens[i] > 0
+        }
+        manifest = [u for i, u in enumerate(manifest) if lens[i] > 0]
+
+    store = featurize_corpus(
+        waveforms,
+        feature_type=args.feature_type,
+        feature_len=args.input_spec_size,
+    )
+
+    out_dir = os.path.join(args.work_dir, "feature", args.feature_type, args.dataset)
+    os.makedirs(out_dir, exist_ok=True)
+    store_path = os.path.join(out_dir, f"data_{args.input_spec_size}.npz")
+    save_feature_store(store_path, store)
+    save_manifest(os.path.join(out_dir, "manifest.json"), manifest)
+    print(f"featurized {len(manifest)} utterances -> {store_path}")
+
+
+if __name__ == "__main__":
+    main()

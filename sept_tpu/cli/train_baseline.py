@@ -1,0 +1,117 @@
+"""CLI: baseline SER / adversary training (mirrors
+/root/reference/training/training_adversary_baselines.py).
+
+    python -m sept_tpu.cli.train_baseline --dataset synthetic --pred emotion
+    python -m sept_tpu.cli.train_baseline --dataset synthetic --pred gender --adv 1
+
+Per fold: loads the assembled splits, trains the configured backbone with
+best-by-validation-accuracy selection (after epoch 10), evaluates via the
+sliding-window vote, and checkpoints the best params under
+``<output_dir>/{baseline|adv_baseline}_<pred>/fold<k>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sept_tpu.cli.common import add_common_args, config_from_args, setup_seed
+
+
+def artifact_name(cfg) -> str:
+    base = "adv_baseline" if cfg.adv else "baseline"
+    return f"{base}_{cfg.pred}"
+
+
+def run_fold(cfg, fold, ckpt, verbose=True):
+    from sept_tpu.data.pipeline import batch_iterator
+    from sept_tpu.models import build_backbone
+    from sept_tpu.train import (
+        init_state,
+        make_baseline_step,
+        make_eval_logits_fn,
+        make_optimizer,
+    )
+    from sept_tpu.train.loop import fit, speaker_weights
+
+    train_split = fold.adv_training if cfg.adv else fold.training
+    val_split = fold.adv_validation if cfg.adv else fold.validation
+
+    model = build_backbone(
+        cfg.model_type,
+        hidden_size=cfg.hidden_size,
+        pred=cfg.pred,
+        att=cfg.att,
+        attention_size=cfg.attention_size,
+    )
+    steps_per_epoch = max(1, len(train_split) // cfg.batch_size)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    sample = next(
+        batch_iterator(train_split, cfg.batch_size, np.random.default_rng(0))
+    )
+    sample = {
+        k: jnp.asarray(v) for k, v in sample.items()
+        if k not in ("speaker_ids", "datasets")
+    }
+    state = init_state(
+        model, tx, jax.random.PRNGKey(cfg.seed), sample, use_global=cfg.global_feature
+    )
+    step = make_baseline_step(model, tx, use_global=cfg.global_feature)
+    pooling = None if "deep" in cfg.model_type else "mean"
+    logits_fn = make_eval_logits_fn(model, use_global=cfg.global_feature,
+                                    pooling=pooling)
+    spk_w = speaker_weights(train_split) if "combine" in cfg.dataset else None
+    result = fit(state, step, logits_fn, train_split, val_split, fold.test, cfg,
+                 spk_weights=spk_w, verbose=verbose)
+    ckpt.save(
+        artifact_name(cfg),
+        fold.fold,
+        result.best_state.params,
+        result.best_state.batch_stats,
+        manifest={
+            "config": cfg,
+            "best_epoch": result.best_epoch,
+            "best_val_acc": result.best_val_acc,
+            "test_acc": result.final_test_acc,
+            "test_uar": result.final_test_uar,
+        },
+    )
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    args = p.parse_args(argv)
+    setup_seed(args.seed)
+    cfg = config_from_args(args)
+    if args.learning_rate is None:
+        cfg.learning_rate = 1e-4 if cfg.optimizer == "sgd" else 5e-5
+
+    from sept_tpu.data.store import load_fold
+    from sept_tpu.train.checkpoint import CheckpointManager
+
+    fold_dir = os.path.join(args.work_dir, "folds", args.dataset)
+    ckpt = CheckpointManager(cfg.output_dir)
+    accs, uars = [], []
+    for k in args.folds or range(1, cfg.n_folds + 1):
+        fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
+        result = run_fold(cfg, fold, ckpt)
+        accs.append(result.final_test_acc)
+        uars.append(result.final_test_uar)
+        print(
+            f"fold{k}: best epoch {result.best_epoch} "
+            f"test acc {result.final_test_acc:.3f} uar {result.final_test_uar:.3f}"
+        )
+    print(
+        f"{artifact_name(cfg)}: mean test acc {np.mean(accs):.3f} "
+        f"uar {np.mean(uars):.3f} over {len(accs)} folds"
+    )
+
+
+if __name__ == "__main__":
+    main()

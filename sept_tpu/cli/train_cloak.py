@@ -1,0 +1,192 @@
+"""CLI: cloak noise-injection training (mirrors
+/root/reference/training/training_cloak.py and, with --grl 1,
+training_cloak_with_grl.py).
+
+    python -m sept_tpu.cli.train_cloak --dataset synthetic --scale_lamda 0.1
+    python -m sept_tpu.cli.train_cloak --dataset synthetic --grl 1
+
+Loads the frozen pretrained baseline (trained by cli.train_baseline), wraps
+it with the CloakNoise layer (and, for GRL, a fresh trainable gender
+adversary), and trains ONLY the cloak-trainable partition.  Suppression runs
+(--suppression_ratio > 0) load the suppression_0 cloak, freeze rhos, and
+apply the training-direction percentile mask (training_cloak.py:364-371).
+Artifacts: ``cloak[_grl]_<scale_lamda>_supp<r>/fold<k>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sept_tpu.cli.common import add_common_args, config_from_args, setup_seed
+
+
+def cloak_artifact(cfg) -> str:
+    tag = "cloak_grl" if cfg.grl else "cloak"
+    return f"{tag}_lamda{cfg.scale_lambda}_supp{cfg.suppression_ratio}"
+
+
+def run_fold(cfg, fold, ckpt, verbose=True):
+    from sept_tpu.data.pipeline import batch_iterator
+    from sept_tpu.eval.sweep import train_mask
+    from sept_tpu.models import CloakedModel, CloakedModelGRL, build_backbone
+    from sept_tpu.train import (
+        TrainState,
+        make_cloak_grl_step,
+        make_cloak_optimizer,
+        make_cloak_step,
+        make_eval_logits_fn,
+    )
+    from sept_tpu.train.loop import fit, speaker_weights
+    from sept_tpu.train.steps import cloak_scales
+
+    backbone = build_backbone(
+        cfg.model_type, hidden_size=cfg.hidden_size, pred="emotion",
+        att=cfg.att, attention_size=cfg.attention_size,
+    )
+    pretrained = ckpt.restore("baseline_emotion", fold.fold)
+
+    if cfg.grl:
+        gender = build_backbone(
+            cfg.model_type, hidden_size=cfg.hidden_size, pred="gender",
+            att=cfg.att, attention_size=cfg.attention_size,
+        )
+        model = CloakedModelGRL(
+            emotion_backbone=backbone, gender_backbone=gender,
+            grl_lambda=cfg.grl_lambda, win_len=cfg.win_len,
+            n_feats=cfg.feature_len, max_scale=cfg.noise_max_scale,
+        )
+        trainable = ("noise", "gender_backbone")
+    else:
+        model = CloakedModel(
+            backbone=backbone, win_len=cfg.win_len, n_feats=cfg.feature_len,
+            max_scale=cfg.noise_max_scale,
+        )
+        trainable = ("noise",)
+
+    sample = next(
+        batch_iterator(fold.training, cfg.batch_size, np.random.default_rng(0))
+    )
+    spec = jnp.asarray(sample["spec"])
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.PRNGKey(cfg.seed),
+         "noise": jax.random.PRNGKey(cfg.seed + 1),
+         "dropout": jax.random.PRNGKey(cfg.seed + 2)},
+        spec,
+    )
+    params = dict(variables["params"])
+    # graft the pretrained frozen backbone weights in
+    bk = "emotion_backbone" if cfg.grl else "backbone"
+    params[bk] = pretrained["params"]
+    batch_stats = dict(variables.get("batch_stats", {}))
+    if pretrained.get("batch_stats"):
+        batch_stats[bk] = pretrained["batch_stats"]
+
+    mask = None
+    if cfg.suppression_ratio:
+        base_art = cloak_artifact(
+            type(cfg)(**{**cfg.__dict__, "suppression_ratio": 0})
+        )
+        supp0 = ckpt.restore(base_art, fold.fold)
+        params["noise"] = supp0["params"]["noise"]
+        scales = np.asarray(cloak_scales(model, params))
+        mask = jnp.asarray(train_mask(scales, cfg.suppression_ratio))
+
+    tx = make_cloak_optimizer(cfg, 10, params, trainable)
+    state = TrainState(
+        params=params, batch_stats=batch_stats, opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(cfg.seed), step=jnp.zeros((), jnp.int32),
+    )
+    pooling = None if "deep" in cfg.model_type else "mean"
+    apply_reg = cfg.suppression_ratio == 0
+    if cfg.grl:
+        step = make_cloak_grl_step(
+            model, tx, scale_lambda=cfg.scale_lambda,
+            gender_lambda=cfg.gender_lambda, use_global=cfg.global_feature,
+            apply_scale_reg=apply_reg, pooling=pooling,
+        )
+    else:
+        step = make_cloak_step(
+            model, tx, scale_lambda=cfg.scale_lambda,
+            use_global=cfg.global_feature, apply_scale_reg=apply_reg,
+            pooling=pooling,
+        )
+
+    # eval logits: cloak forward (emotion head), fixed noise key per eval
+    def eval_logits(params_, batch_stats_, spec_, g=None):
+        out = model.apply(
+            {"params": params_, "batch_stats": batch_stats_}, spec_,
+            global_feature=g if cfg.global_feature else None,
+            mask=mask, pooling=pooling,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        return out[0]
+
+    spk_w = speaker_weights(fold.training) if "combine" in cfg.dataset else None
+    result = fit(
+        state, step, jax.jit(eval_logits), fold.training, fold.validation,
+        fold.test, cfg, spk_weights=spk_w, mask=mask, verbose=verbose,
+    )
+
+    scales = np.asarray(cloak_scales(model, result.best_state.params))
+    ckpt.save(
+        cloak_artifact(cfg), fold.fold,
+        result.best_state.params, result.best_state.batch_stats,
+        manifest={
+            "config": cfg,
+            "best_epoch": result.best_epoch,
+            "test_acc": result.final_test_acc,
+            "test_uar": result.final_test_uar,
+            "scales_mean": float(scales.mean()),
+            "scales_max": float(scales.max()),
+            "scales_min": float(scales.min()),
+        },
+    )
+    if verbose:
+        print(
+            "scales mean/max/min %.3f/%.3f/%.3f"
+            % (scales.mean(), scales.max(), scales.min())
+        )
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--grl", type=int, default=0)
+    args = p.parse_args(argv)
+    setup_seed(args.seed)
+    cfg = config_from_args(args, grl=bool(args.grl))
+    if args.learning_rate is None:
+        cfg.learning_rate = 1e-3 if cfg.optimizer == "sgd" else 5e-4
+    cfg.lr_step_epochs = 10  # cloak StepLR(10, 0.5) (training_cloak.py:379)
+
+    from sept_tpu.data.store import load_fold
+    from sept_tpu.train.checkpoint import CheckpointManager
+
+    fold_dir = os.path.join(args.work_dir, "folds", args.dataset)
+    ckpt = CheckpointManager(cfg.output_dir)
+    accs, uars = [], []
+    for k in args.folds or range(1, cfg.n_folds + 1):
+        fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
+        result = run_fold(cfg, fold, ckpt)
+        accs.append(result.final_test_acc)
+        uars.append(result.final_test_uar)
+        print(
+            f"fold{k}: test acc {result.final_test_acc:.3f} "
+            f"uar {result.final_test_uar:.3f}"
+        )
+    print(
+        f"{cloak_artifact(cfg)}: mean test acc {np.mean(accs):.3f} "
+        f"uar {np.mean(uars):.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -243,6 +243,10 @@ def fit(
     early = EarlyStopping(patience=cfg.early_stop_patience)
     plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
 
+    # reference selects best-by-val-acc only after epoch 10 (:404); cap at
+    # num_epochs-1 so short smoke runs still select a model
+    min_sel = min(cfg.min_select_epoch, max(cfg.num_epochs - 2, 0))
+
     best_val_acc, best_epoch = 0.0, 0
     best_state = state
     final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
@@ -261,7 +265,7 @@ def fit(
                 state, opt_state=set_lr_scale(state.opt_state, scale)
             )
 
-        if val_m["acc"] > best_val_acc and epoch > cfg.min_select_epoch:
+        if val_m["acc"] >= best_val_acc and epoch >= min_sel:
             best_val_acc = val_m["acc"]
             best_epoch = epoch
             best_state = state
@@ -274,7 +278,7 @@ def fit(
                 f"| test acc {test_m['acc']:.3f} uar {test_m['uar']:.3f}"
             )
 
-        if epoch > cfg.min_select_epoch and early(val_m["loss"]):
+        if epoch >= min_sel and early(val_m["loss"]):
             if verbose:
                 print("early stopping")
             break

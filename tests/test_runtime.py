@@ -1,0 +1,59 @@
+"""Native IO runtime tests: WAV round-trip, resampling, batch decode."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sept_tpu.runtime import decode_batch, decode_wav, have_native, write_wav
+
+
+def test_native_library_builds():
+    assert have_native(), "csrc/septio.cpp failed to compile"
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    w = (0.5 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(np.float32)
+    path = str(tmp_path / "a.wav")
+    write_wav(path, w, 16000)
+    out, sr = decode_wav(path, target_sr=16000)
+    assert sr == 16000
+    assert len(out) == len(w)
+    np.testing.assert_allclose(out, w, atol=1.0 / 32000)  # PCM16 quantization
+
+
+def test_resample_tone_preserves_frequency(tmp_path):
+    """Decode a 44.1 kHz tone at 16 kHz; dominant frequency must survive."""
+    sr_in, f0 = 44100, 1000.0
+    t = np.arange(int(sr_in * 0.5)) / sr_in
+    w = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    path = str(tmp_path / "b.wav")
+    write_wav(path, w, sr_in)
+    out, sr = decode_wav(path, target_sr=16000)
+    assert sr == 16000
+    assert abs(len(out) - int(len(w) * 16000 / 44100)) <= 2
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    freqs = np.fft.rfftfreq(len(out), 1 / 16000)
+    assert abs(freqs[np.argmax(spec)] - f0) < 10.0
+    # amplitude preserved within 5%
+    assert np.percentile(np.abs(out), 99) == pytest.approx(0.5, rel=0.08)
+
+
+def test_batch_decode_threads(tmp_path, rng):
+    paths = []
+    waves = []
+    for i in range(12):
+        w = np.clip(
+            rng.standard_normal(8000 + 500 * i).astype(np.float32) * 0.3, -1, 1
+        )
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, w, 16000)
+        paths.append(p)
+        waves.append(w)
+    paths.append(str(tmp_path / "missing.wav"))
+    mat, lens = decode_batch(paths, target_sr=16000, max_seconds=2.0, n_threads=4)
+    assert mat.shape[0] == 13
+    assert lens[-1] == 0  # missing file
+    for i, w in enumerate(waves):
+        assert lens[i] == len(w)
+        np.testing.assert_allclose(mat[i, : len(w)], w, atol=1.0 / 16000)
