@@ -37,6 +37,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--norm", default="znorm")
     p.add_argument("--aug", default="emotion")
     p.add_argument("--win_len", type=int, default=200)
+    p.add_argument("--shift", type=int, default=1)
     p.add_argument("--optimizer", default="sgd")
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--att", default=None)
@@ -60,6 +61,7 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
         feature_type=args.feature_type,
         feature_len=args.input_spec_size,
         win_len=args.win_len,
+        shift=bool(args.shift),
         norm=args.norm,
         aug=args.aug or None,
         adv=bool(args.adv),

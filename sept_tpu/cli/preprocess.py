@@ -23,6 +23,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     setup_seed(args.seed)
 
+    if args.dataset == "combine":
+        return _combine(args)
+
     from sept_tpu.data.pipeline import assemble_fold
     from sept_tpu.data.splits import FoldPlan, plan_folds
     from sept_tpu.data.store import (
@@ -80,6 +83,7 @@ def main(argv=None):
             norm=args.norm,
             aug=args.aug or None,
             seed=args.seed,
+            shift=bool(args.shift),
         )
         path = os.path.join(out_dir, f"fold{plan.fold}.npz")
         save_fold(path, fold)
@@ -88,6 +92,28 @@ def main(argv=None):
             f"{len(fold.validation)} / adv_train {len(fold.adv_training)} / "
             f"adv_val {len(fold.adv_validation)} / test {len(fold.test)} -> {path}"
         )
+
+
+def _combine(args):
+    """--dataset combine: merge the three corpora's assembled folds
+    (preprocess_adversary_data.py:86-104)."""
+    import os
+
+    from sept_tpu.data.combine import combine_folds
+    from sept_tpu.data.store import load_fold, save_fold
+
+    out_dir = os.path.join(args.work_dir, "folds", "combine")
+    os.makedirs(out_dir, exist_ok=True)
+    for k in args.folds or range(1, 6):
+        folds = []
+        for ds in ("iemocap", "crema-d", "msp-improv"):
+            path = os.path.join(args.work_dir, "folds", ds, f"fold{k}.npz")
+            folds.append(load_fold(path))
+        merged = combine_folds(folds)
+        path = os.path.join(out_dir, f"fold{k}.npz")
+        save_fold(path, merged)
+        print(f"combine fold{k}: train {len(merged.training)} test "
+              f"{len(merged.test)} -> {path}")
 
 
 if __name__ == "__main__":

@@ -1,6 +1,7 @@
 """Deterministic data layer: manifests, splits, windowing, norm, batching."""
 
 from sept_tpu.data.augment import balance_classes
+from sept_tpu.data.combine import combine_folds, combine_splits
 from sept_tpu.data.corpora import (
     EMO_LABELS,
     GENDER_LABELS,
@@ -35,6 +36,8 @@ __all__ = [
     "apply_norm",
     "assemble_fold",
     "balance_classes",
+    "combine_folds",
+    "combine_splits",
     "batch_iterator",
     "featurize_corpus",
     "make_corpus",

@@ -121,3 +121,39 @@ def parse_msp_improv_filename(file_name: str) -> Optional[Utterance]:
 
 def manifest_speakers(manifest: Iterable[Utterance]) -> set:
     return {u.speaker_id for u in manifest}
+
+
+def parse_msp_podcast_row(
+    file_name: str,
+    emo_class: str,
+    speaker_id: str,
+    gender: str,
+    split_set: str,
+    min_speaker_utts: int = 10,
+    speaker_counts: Optional[dict] = None,
+) -> Optional[Utterance]:
+    """Parse one MSP-Podcast labels_concensus.csv row.
+
+    The reference's MSP-Podcast paths are dead code with bugs (undefined
+    variables at audio_feature_extraction.py:117-124, wrong call arity at
+    preprocess_adversary_data.py:228 — SURVEY.md §2.6 item 11).  This is the
+    *fixed* implementation of the behavior those paths intend
+    (preprocess_adversary_data.py:190-228): keep N/S/H/A classes, drop
+    Test2 rows, Unknown speakers/genders, and speakers with fewer than 10
+    utterances (pass ``speaker_counts`` = {speaker_id: n} to enforce).
+    """
+    if "Test2" in split_set:
+        return None
+    if "Unknown" in str(speaker_id) or "Unknown" in str(gender):
+        return None
+    if speaker_counts is not None and speaker_counts.get(speaker_id, 0) < min_speaker_utts:
+        return None
+    if emo_class not in _MSP_EMO:
+        return None
+    return Utterance(
+        file_name.rsplit(".", 1)[0],
+        _MSP_EMO[emo_class],
+        str(gender)[0],
+        speaker_id,
+        "msp-podcast",
+    )

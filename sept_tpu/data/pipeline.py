@@ -94,6 +94,7 @@ def assemble_fold(
     norm: str = "znorm",
     aug: Optional[str] = "emotion",
     seed: int = 8,
+    shift: bool = True,
 ) -> FoldData:
     """Build one fold's five splits from a featurized corpus.
 
@@ -150,7 +151,7 @@ def assemble_fold(
             rows["test"].append((data, utt, gdata, len(data)))
             max_test_t = max(max_test_t, len(data))
         else:
-            windows = window_utterance(data, win_len, shift_len)
+            windows = window_utterance(data, win_len, shift_len, shift=shift)
             t = len(data)
             for w_idx in range(len(windows)):
                 # stats accumulate the UNPADDED rows the reference writes

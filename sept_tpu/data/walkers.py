@@ -23,9 +23,11 @@ from sept_tpu.data.corpora import (
     parse_crema_d_filename,
     parse_iemocap_evaluation,
     parse_msp_improv_filename,
+    parse_msp_podcast_row,
 )
 
-__all__ = ["walk_iemocap", "walk_crema_d", "walk_msp_improv", "walk_corpus"]
+__all__ = ["walk_iemocap", "walk_crema_d", "walk_msp_improv",
+           "walk_msp_podcast", "walk_corpus"]
 
 
 def walk_iemocap(root: str) -> list[Utterance]:
@@ -84,6 +86,33 @@ def walk_msp_improv(root: str) -> list[Utterance]:
     return out
 
 
+def walk_msp_podcast(root: str) -> list[Utterance]:
+    """MSP-Podcast: ``<root>/Labels/labels_concensus.csv`` + ``<root>/Audios/``
+    (the reference's intended-but-broken path, fixed — corpora.py docstring)."""
+    labels_csv = os.path.join(root, "Labels", "labels_concensus.csv")
+    rows = []
+    with open(labels_csv, newline="") as f:
+        for row in csv.DictReader(f):
+            rows.append(row)
+    counts: dict = {}
+    for row in rows:
+        counts[row["SpkrID"]] = counts.get(row["SpkrID"], 0) + 1
+    out = []
+    for row in rows:
+        name = row.get("FileName") or row.get("")
+        u = parse_msp_podcast_row(
+            name, row["EmoClass"], row["SpkrID"], row["Gender"],
+            row["Split_Set"], speaker_counts=counts,
+        )
+        if u is None:
+            continue
+        wav = os.path.join(root, "Audios", name)
+        if os.path.exists(wav):
+            out.append(Utterance(u.utt_id, u.label, u.gender, u.speaker_id,
+                                 "msp-podcast", wav))
+    return out
+
+
 def walk_corpus(dataset: str, root: str) -> list[Utterance]:
     if dataset == "iemocap":
         return walk_iemocap(root)
@@ -91,4 +120,6 @@ def walk_corpus(dataset: str, root: str) -> list[Utterance]:
         return walk_crema_d(root)
     if dataset == "msp-improv":
         return walk_msp_improv(root)
+    if dataset == "msp-podcast":
+        return walk_msp_podcast(root)
     raise ValueError(f"unknown dataset: {dataset!r}")

@@ -206,13 +206,24 @@ def run_test(
         preds.append(np.asarray(jnp.argmax(probs, -1))[: hi - lo])
     preds = np.concatenate(preds) if preds else np.zeros(0, np.int64)
     truth = getattr(test, label_key)
-    return {
+    out = {
         "acc": M.accuracy(truth, preds),
         "uar": M.uar(truth, preds),
         "conf": M.confusion(truth, preds),
         "preds": preds,
         "truth": truth,
     }
+    # combine-mode per-corpus breakdown (training_tools.py:153-170)
+    corpora = set(test.datasets.tolist())
+    if len(corpora) > 1:
+        out["per_dataset"] = {}
+        for ds in sorted(corpora):
+            sel = test.datasets == ds
+            out["per_dataset"][ds] = {
+                "acc": M.accuracy(truth[sel], preds[sel]),
+                "uar": M.uar(truth[sel], preds[sel]),
+            }
+    return out
 
 
 @dataclasses.dataclass
