@@ -86,6 +86,8 @@ def run_fold(cfg, fold, ckpt, verbose=True):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
+    p.add_argument("--resume", action="store_true",
+                   help="skip folds whose checkpoint already exists")
     args = p.parse_args(argv)
     setup_seed(args.seed)
     cfg = config_from_args(args)
@@ -99,6 +101,9 @@ def main(argv=None):
     ckpt = CheckpointManager(cfg.output_dir)
     accs, uars = [], []
     for k in args.folds or range(1, cfg.n_folds + 1):
+        if args.resume and ckpt.exists(artifact_name(cfg), k):
+            print(f"fold{k}: checkpoint exists, skipping (--resume)")
+            continue
         fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
         result = run_fold(cfg, fold, ckpt)
         accs.append(result.final_test_acc)

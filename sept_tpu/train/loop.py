@@ -248,8 +248,15 @@ def fit(
     spk_weights: Optional[dict] = None,
     mask=None,
     verbose: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> FitResult:
-    """The reference's per-fold epoch loop with best-model tracking."""
+    """The reference's per-fold epoch loop with best-model tracking.
+
+    ``profile_dir`` wraps the first training epoch in a jax.profiler trace
+    (TensorBoard-loadable; the reference has no profiling — SURVEY.md §5).
+    """
+    from sept_tpu.utils.profiling import trace as profiler_trace
+
     rng = np.random.default_rng(cfg.seed)
     early = EarlyStopping(patience=cfg.early_stop_patience)
     plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
@@ -263,9 +270,10 @@ def fit(
     final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
     history = []
     for epoch in range(cfg.num_epochs):
-        state, train_m = run_train_epoch(
-            step_fn, state, train_split, cfg, rng, spk_weights, mask
-        )
+        with profiler_trace(profile_dir, enabled=epoch == 0 and profile_dir is not None):
+            state, train_m = run_train_epoch(
+                step_fn, state, train_split, cfg, rng, spk_weights, mask
+            )
         val_m = run_eval_epoch(logits_fn, state, val_split, cfg)
         test_m = run_test(logits_fn, state, test_split, cfg)
         history.append({"train": train_m, "validate": val_m, "test": test_m})

@@ -109,9 +109,14 @@ def _metrics(logits, labels, weights, loss):
 def make_baseline_step(
     model, tx, use_global: bool = False
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Jitted supervised step for baseline / adversary training."""
+    """Jitted supervised step for baseline / adversary / multitask training.
 
-    label_key = "labels_emo" if model.pred == "emotion" else "labels_gen"
+    pred='multitask' sums emotion + gender CE over the two heads
+    (baseline_models.py:251-254); metrics track the emotion head.
+    """
+
+    multitask = model.pred == "multitask"
+    label_key = "labels_gen" if model.pred == "gender" else "labels_emo"
 
     @jax.jit
     def step(state: TrainState, batch: dict):
@@ -127,7 +132,14 @@ def make_baseline_step(
                 rngs={"dropout": d_rng},
                 mutable=["batch_stats"],
             )
-            loss = weighted_ce(out, batch[label_key], batch["weight"])
+            if multitask:
+                emo_out, gen_out = out
+                loss = weighted_ce(
+                    emo_out, batch["labels_emo"], batch["weight"]
+                ) + weighted_ce(gen_out, batch["labels_gen"], batch["weight"])
+                out = emo_out
+            else:
+                loss = weighted_ce(out, batch[label_key], batch["weight"])
             return loss, (out, mut)
 
         (loss, (logits, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
