@@ -27,7 +27,7 @@ def artifact_name(cfg) -> str:
     return f"{base}_{cfg.pred}"
 
 
-def run_fold(cfg, fold, ckpt, verbose=True):
+def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None):
     from sept_tpu.data.pipeline import batch_iterator
     from sept_tpu.models import build_backbone
     from sept_tpu.train import (
@@ -67,6 +67,16 @@ def run_fold(cfg, fold, ckpt, verbose=True):
     spk_w = speaker_weights(train_split) if "combine" in cfg.dataset else None
     result = fit(state, step, logits_fn, train_split, val_split, fold.test, cfg,
                  spk_weights=spk_w, verbose=verbose)
+    if metrics_path:
+        from sept_tpu.utils import MetricsLogger
+
+        log = MetricsLogger(metrics_path)
+        for epoch, h in enumerate(result.history):
+            log.log(fold=fold.fold, epoch=epoch,
+                    train_loss=h["train"]["loss"], train_acc=h["train"]["acc"],
+                    val_loss=h["validate"]["loss"], val_acc=h["validate"]["acc"],
+                    test_acc=h["test"]["acc"], test_uar=h["test"]["uar"])
+        log.close()
     ckpt.save(
         artifact_name(cfg),
         fold.fold,
@@ -99,13 +109,16 @@ def main(argv=None):
 
     fold_dir = os.path.join(args.work_dir, "folds", args.dataset)
     ckpt = CheckpointManager(cfg.output_dir)
+    metrics_path = os.path.join(
+        cfg.output_dir, artifact_name(cfg), "metrics.jsonl"
+    )
     accs, uars = [], []
     for k in args.folds or range(1, cfg.n_folds + 1):
         if args.resume and ckpt.exists(artifact_name(cfg), k):
             print(f"fold{k}: checkpoint exists, skipping (--resume)")
             continue
         fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
-        result = run_fold(cfg, fold, ckpt)
+        result = run_fold(cfg, fold, ckpt, metrics_path=metrics_path)
         accs.append(result.final_test_acc)
         uars.append(result.final_test_uar)
         print(
@@ -116,6 +129,15 @@ def main(argv=None):
         f"{artifact_name(cfg)}: mean test acc {np.mean(accs):.3f} "
         f"uar {np.mean(uars):.3f} over {len(accs)} folds"
     )
+    from sept_tpu.utils import RunManifest
+
+    manifest = RunManifest(
+        os.path.join(cfg.output_dir, artifact_name(cfg), "run.json"), cfg
+    )
+    manifest.record(mean_test_acc=float(np.mean(accs)) if accs else None,
+                    mean_test_uar=float(np.mean(uars)) if uars else None,
+                    folds=list(args.folds or range(1, cfg.n_folds + 1)))
+    manifest.write()
 
 
 if __name__ == "__main__":
