@@ -53,10 +53,13 @@ def main():
     print("== adversary ==", flush=True)
     train_baseline.main(base + ["--pred", "gender", "--adv", "1",
                                 "--num_epochs", "25", "--learning_rate", "2e-3"])
+    cloak_args = ["--grl", "1", "--scale_lamda", "0.3",
+                  "--num_epochs", "30", "--learning_rate", "1e-1",
+                  "--grl_lambda", "1.0", "--gender_lambda", "1.0"]
     print("== cloak+GRL ==", flush=True)
-    train_cloak.main(base + ["--grl", "1", "--scale_lamda", "0.3",
-                             "--num_epochs", "20", "--learning_rate", "5e-2",
-                             "--grl_lambda", "0.5", "--gender_lambda", "0.5"])
+    train_cloak.main(base + cloak_args)
+    print("== cloak+GRL suppression 60 ==", flush=True)
+    train_cloak.main(base + cloak_args + ["--suppression_ratio", "60"])
 
     # ---- evaluation: clean vs cloaked ----
     import argparse
@@ -65,7 +68,8 @@ def main():
     from sept_tpu.cli.common import add_common_args
 
     add_common_args(p)
-    args = p.parse_args(base + ["--grl_lambda", "0.5", "--scale_lamda", "0.3"])
+    args = p.parse_args(base + ["--grl_lambda", "1.0", "--gender_lambda", "1.0",
+                                "--scale_lamda", "0.3"])
     cfg = config_from_args(args, grl=True)
     cfg.noise_max_scale = 5.0
 
@@ -99,19 +103,44 @@ def main():
     def adv_logits(w, g):
         return adv_fn(adv_ck["params"], adv_ck.get("batch_stats", {}), w, g)
 
-    cloaked_emo, cloaked_adv = evaluate_cloaked_test(
-        noise_apply, emo_logits, adv_logits, fold.test, None,
-        win_len=cfg.win_len, shift_len=cfg.shift_len,
-    )
+    from sept_tpu.eval.sweep import eval_mask
+    from sept_tpu.train.steps import cloak_scales
 
     result = {
         "clean": {"emotion_uar": clean_emo["uar"], "adversary_uar": clean_adv["uar"],
                   "emotion_acc": clean_emo["acc"], "adversary_acc": clean_adv["acc"]},
-        "cloaked": {"emotion_uar": cloaked_emo["rec"], "adversary_uar": cloaked_adv["rec"],
-                    "emotion_acc": cloaked_emo["acc"], "adversary_acc": cloaked_adv["acc"]},
-        "privacy_gain_uar": clean_adv["uar"] - cloaked_adv["rec"],
-        "utility_cost_uar": clean_emo["uar"] - cloaked_emo["rec"],
+        "sweep": {},
     }
+    # suppression sweep: eval ratio r keeps only the bottom-r%-noisy cells
+    # (adversary_cloak_evaluation.py:262-267); ratio 0 = no mask
+    for ratio, art_ratio in [(0, 0), (80, 60), (40, 60), (20, 60)]:
+        art_cfg = type(cfg)(**{**cfg.__dict__, "suppression_ratio": art_ratio})
+        ck2 = ckpt.restore(cloak_artifact(art_cfg), 1)
+        np_params = {"params": ck2["params"]["noise"]}
+        scales = np.asarray(
+            noise.apply(np_params, method=type(noise).scales)
+        )
+        m = eval_mask(scales, ratio)
+        m_j = None if m is None else jnp.asarray(m)
+
+        def napply(wins, mm, rng, np_params=np_params):
+            return noise.apply(np_params, wins[..., 0], mm,
+                               rngs={"noise": rng})[..., None]
+
+        ce, ca = evaluate_cloaked_test(
+            napply, emo_logits, adv_logits, fold.test, m_j,
+            win_len=cfg.win_len, shift_len=cfg.shift_len,
+        )
+        result["sweep"][f"ratio_{ratio}"] = {
+            "emotion_uar": ce["rec"], "adversary_uar": ca["rec"],
+            "emotion_acc": ce["acc"], "adversary_acc": ca["acc"],
+            "kept_cells_frac": float(m.mean()) if m is not None else 1.0,
+        }
+    r0 = result["sweep"]["ratio_0"]
+    result["privacy_gain_uar"] = clean_adv["uar"] - min(
+        v["adversary_uar"] for v in result["sweep"].values()
+    )
+    result["utility_cost_uar"] = clean_emo["uar"] - r0["emotion_uar"]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "privacy_demo.json")
     with open(path, "w") as f:

@@ -41,12 +41,18 @@ def prepare_waves(
     center-STFT parity), zero-pad to the batch max.  Returns
     (padded (N, Lmax+n_fft), n_frames (N,))."""
     pad = n_fft // 2
-    lmax = max(len(w) for w in waveforms)
+    lengths = np.asarray([len(w) for w in waveforms])
+    lmax = int(lengths.max())
+    frames = (1 + lengths // _HOP).astype(np.int32)
+    if (lengths == lmax).all():
+        # equal-length fast path: one vectorized reflect-pad
+        stacked = np.ascontiguousarray(
+            np.stack(waveforms).astype(np.float32, copy=False)
+        )
+        return np.pad(stacked, ((0, 0), (pad, pad)), mode="reflect"), frames
     out = np.zeros((len(waveforms), lmax + n_fft), dtype=np.float32)
-    frames = np.zeros(len(waveforms), dtype=np.int32)
     for i, w in enumerate(waveforms):
         out[i, : len(w) + n_fft] = np.pad(w, (pad, pad), mode="reflect")
-        frames[i] = 1 + len(w) // _HOP
     return out, frames
 
 

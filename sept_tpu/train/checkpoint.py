@@ -61,10 +61,33 @@ class CheckpointManager:
         return path
 
     def restore(self, artifact: str, fold: int, like: Optional[Any] = None) -> dict:
+        """Device-agnostic restore.
+
+        Checkpoints saved on one backend (e.g. the TPU) must restore on
+        another (e.g. the CPU test backend); Orbax's default re-applies the
+        *stored* device shardings and fails.  Restoring against an abstract
+        (shape/dtype-only) target from the checkpoint's metadata places
+        arrays on the current default device instead.
+        """
         path = artifact_path(self.output_dir, artifact, fold)
         if like is not None:
             return self._ckptr.restore(path, like)
-        return self._ckptr.restore(path)
+        meta = self._ckptr.metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+
+        device = jax.devices()[0]
+        sharding = jax.sharding.SingleDeviceSharding(device)
+
+        def to_abstract(m):
+            return jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                        sharding=sharding)
+
+        abstract = jax.tree.map(
+            to_abstract,
+            dict(tree.tree) if hasattr(tree, "tree") else tree,
+            is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"),
+        )
+        return self._ckptr.restore(path, abstract)
 
     def exists(self, artifact: str, fold: int) -> bool:
         return os.path.isdir(artifact_path(self.output_dir, artifact, fold))

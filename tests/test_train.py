@@ -245,3 +245,36 @@ def test_sgd_step_schedule_halves_lr():
     assert float(sched(9)) == pytest.approx(1e-3)
     assert float(sched(10)) == pytest.approx(5e-4)
     assert float(sched(20)) == pytest.approx(2.5e-4)
+
+
+def test_set_lr_scale_rewrites_injected_hyperparam():
+    import optax
+    from sept_tpu.train.optim import set_lr_scale
+
+    cfg = small_cfg(optimizer="adam", learning_rate=1e-3, weight_decay=0.0)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.ones((4, 4))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4))}
+
+    up1, st1 = tx.update(grads, opt_state, params)
+    scaled_state = set_lr_scale(st1, 0.25)
+    up2, _ = tx.update(grads, scaled_state, params)
+    # second update magnitude scaled by exactly 0.25 relative to a rerun at 1.0
+    up_ref, _ = tx.update(grads, st1, params)
+    np.testing.assert_allclose(
+        np.asarray(up2["w"]), 0.25 * np.asarray(up_ref["w"]), rtol=1e-5
+    )
+
+
+def test_presets_mirror_reference_defaults():
+    from sept_tpu.train import preset
+
+    b = preset("baseline")
+    assert (b.optimizer, b.learning_rate, b.lr_step_epochs, b.num_epochs) == (
+        "sgd", 1e-4, 5, 100
+    )
+    c = preset("cloak")
+    assert (c.learning_rate, c.lr_step_epochs) == (1e-3, 10)
+    g = preset("cloak_grl", gender_lambda=0.2)
+    assert g.grl and g.gender_lambda == 0.2 and g.grl_lambda == 0.1
