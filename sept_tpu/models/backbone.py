@@ -65,13 +65,16 @@ class StackedBiRNN(nn.Module):
     num_layers: int = 2
     cell_type: str = "gru"
     dropout_rate: float = 0.2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.cell_type == "gru":
-            make_cell = lambda: nn.GRUCell(features=self.hidden_size)  # noqa: E731
+            make_cell = lambda: nn.GRUCell(  # noqa: E731
+                features=self.hidden_size, dtype=self.dtype)
         elif self.cell_type == "lstm":
-            make_cell = lambda: nn.OptimizedLSTMCell(features=self.hidden_size)  # noqa: E731
+            make_cell = lambda: nn.OptimizedLSTMCell(  # noqa: E731
+                features=self.hidden_size, dtype=self.dtype)
         else:
             raise ValueError(f"Unsupported RNN cell: {self.cell_type!r}")
 
@@ -115,10 +118,13 @@ def _conv_block(
     dropout: float,
     pool: bool = True,
     name: str = "",
+    dtype=None,
 ) -> jax.Array:
     """Conv5x5(SAME) -> BatchNorm -> ReLU -> MaxPool2x2 -> Dropout2d."""
-    x = nn.Conv(features, kernel_size=(5, 5), padding="SAME", name=f"conv{name}")(x)
-    x = nn.BatchNorm(use_running_average=not train, name=f"bn{name}")(x)
+    x = nn.Conv(features, kernel_size=(5, 5), padding="SAME", name=f"conv{name}",
+                dtype=dtype)(x)
+    x = nn.BatchNorm(use_running_average=not train, name=f"bn{name}",
+                     dtype=dtype)(x)
     x = nn.relu(x)
     if pool:
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
@@ -174,6 +180,11 @@ class Conv2dBiRNN(nn.Module):
     att: Optional[str] = None
     attention_size: int = 128
     dropout_rate: float = 0.2
+    # TPU perf knobs: dtype=jnp.bfloat16 runs conv/RNN compute in bf16
+    # (params stay f32); remat=True rematerializes the encoder in the
+    # backward pass (jax.checkpoint), trading FLOPs for HBM.
+    dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def pool(self, x: jax.Array, pooling: Optional[str] = "mean") -> jax.Array:
         """Temporal pooling after the RNN; overridden usage in cloak wrappers."""
@@ -189,16 +200,26 @@ class Conv2dBiRNN(nn.Module):
 
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Conv stack + RNN: (B, T, D, 1) -> (B, T/8, 2*hidden)."""
-        for i, ch in enumerate((32, 64, 128)):
-            x = _conv_block(x, ch, train, self.dropout_rate, name=str(i))
-        x = _flatten_channel_major(x)
-        return StackedBiRNN(
-            hidden_size=self.hidden_size,
-            num_layers=self.num_rnn_layers,
-            cell_type=self.rnn_cell,
-            dropout_rate=self.dropout_rate,
-            name="rnn",
-        )(x, train=train)
+
+        def _enc(x):
+            for i, ch in enumerate((32, 64, 128)):
+                x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
+                                dtype=self.dtype)
+            x = _flatten_channel_major(x)
+            x = StackedBiRNN(
+                hidden_size=self.hidden_size,
+                num_layers=self.num_rnn_layers,
+                cell_type=self.rnn_cell,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                name="rnn",
+            )(x, train=train)
+            return x.astype(jnp.float32)
+
+        if self.remat:
+            rematted = nn.remat(lambda mdl, x_: _enc(x_))
+            return rematted(self, x)
+        return _enc(x)
 
     @nn.compact
     def __call__(

@@ -224,3 +224,28 @@ def test_cloaked_grl_gradient_signs():
     h1 = g_head_rev["gender_backbone"]["heads"]["pred_gender"]["kernel"]
     h2 = g_head_fwd["gender_backbone"]["heads"]["pred_gender"]["kernel"]
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-4, atol=1e-7)
+
+
+def test_bf16_and_remat_modes():
+    """TPU perf knobs: bf16 compute keeps f32 params; remat grads match."""
+    x = jax.random.normal(KEY, (2, 40, 32, 1))
+
+    m_bf16 = Conv2dBiRNN(hidden_size=8, dtype=jnp.bfloat16)
+    v = jax.jit(m_bf16.init)({"params": KEY}, x)
+    assert v["params"]["conv0"]["kernel"].dtype == jnp.float32  # params f32
+    out = m_bf16.apply(v, x)
+    assert out.shape == (2, 4)
+
+    m32 = Conv2dBiRNN(hidden_size=8, dropout_rate=0.0)
+    m_remat = Conv2dBiRNN(hidden_size=8, dropout_rate=0.0, remat=True)
+    v32 = jax.jit(m32.init)({"params": KEY}, x)
+
+    def loss(m, params):
+        return jnp.sum(
+            m.apply({"params": params, "batch_stats": v32["batch_stats"]}, x) ** 2
+        )
+
+    g1 = jax.grad(lambda p: loss(m32, p))(v32["params"])
+    g2 = jax.grad(lambda p: loss(m_remat, p))(v32["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
