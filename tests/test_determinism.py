@@ -1,0 +1,67 @@
+"""Seeded determinism: the reference's reproducibility contract
+(setup_seed(8), training_tools.py:69-74) — same seed, same run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sept_tpu.data import FoldPlan, assemble_fold, make_corpus
+from sept_tpu.models import Conv2dBiRNN
+from sept_tpu.train import (
+    ExperimentConfig,
+    init_state,
+    make_baseline_step,
+    make_eval_logits_fn,
+    make_optimizer,
+)
+from sept_tpu.train.loop import fit
+
+
+def _run(seed: int):
+    corpus = make_corpus(n_speakers=6, utts_per_speaker=4, seed=8)
+    rng = np.random.default_rng(0)
+    store = {
+        u.utt_id: {"mel1": rng.standard_normal((24, 90)).astype(np.float32)}
+        for u in corpus.manifest
+    }
+    spk = sorted({u.speaker_id for u in corpus.manifest})
+    plan = FoldPlan(1, tuple(spk[:3]), (spk[3],), (spk[4],), (spk[4],), (spk[5],))
+    fold = assemble_fold(corpus.manifest, store, plan, dataset="synthetic",
+                         feature_len=24, win_len=40, aug="emotion", seed=seed)
+    cfg = ExperimentConfig(win_len=40, feature_len=24, batch_size=8,
+                           num_epochs=2, hidden_size=8, seed=seed,
+                           learning_rate=1e-3, min_select_epoch=0)
+    model = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    tx = make_optimizer(cfg, 10)
+    sample = {
+        "spec": jnp.zeros((8, 40, 24, 1)),
+        "labels_emo": jnp.zeros(8, jnp.int32),
+        "labels_gen": jnp.zeros(8, jnp.int32),
+        "global": jnp.zeros((8, 88)),
+        "weight": jnp.ones(8),
+    }
+    state = init_state(model, tx, jax.random.PRNGKey(seed), sample)
+    step = make_baseline_step(model, tx)
+    logits_fn = make_eval_logits_fn(model)
+    result = fit(state, step, logits_fn, fold.training, fold.validation,
+                 fold.test, cfg, verbose=False)
+    return result
+
+
+def test_same_seed_identical_run():
+    r1, r2 = _run(8), _run(8)
+    assert r1.history[0]["train"]["loss"] == r2.history[0]["train"]["loss"]
+    assert r1.final_test_acc == r2.final_test_acc
+    for a, b in zip(jax.tree.leaves(r1.best_state.params),
+                    jax.tree.leaves(r2.best_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_different_seed_different_run():
+    r1, r2 = _run(8), _run(9)
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(r1.best_state.params),
+                        jax.tree.leaves(r2.best_state.params))
+    ]
+    assert max(diffs) > 0
