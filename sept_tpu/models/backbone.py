@@ -119,12 +119,18 @@ def _conv_block(
     pool: bool = True,
     name: str = "",
     dtype=None,
+    bn_axis_name=None,
 ) -> jax.Array:
-    """Conv5x5(SAME) -> BatchNorm -> ReLU -> MaxPool2x2 -> Dropout2d."""
+    """Conv5x5(SAME) -> BatchNorm -> ReLU -> MaxPool2x2 -> Dropout2d.
+
+    ``bn_axis_name`` enables sync-BN: batch statistics are all-reduced over
+    the named mesh axis (required for exact DP equivalence under shard_map,
+    where reductions are shard-local by default).
+    """
     x = nn.Conv(features, kernel_size=(5, 5), padding="SAME", name=f"conv{name}",
                 dtype=dtype)(x)
     x = nn.BatchNorm(use_running_average=not train, name=f"bn{name}",
-                     dtype=dtype)(x)
+                     dtype=dtype, axis_name=bn_axis_name)(x)
     x = nn.relu(x)
     if pool:
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
@@ -185,6 +191,8 @@ class Conv2dBiRNN(nn.Module):
     # backward pass (jax.checkpoint), trading FLOPs for HBM.
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    # sync-BN axis for shard_map data parallelism (parallel/shard_map_dp.py)
+    bn_axis_name: Optional[str] = None
 
     def pool(self, x: jax.Array, pooling: Optional[str] = "mean") -> jax.Array:
         """Temporal pooling after the RNN; overridden usage in cloak wrappers."""
@@ -204,7 +212,8 @@ class Conv2dBiRNN(nn.Module):
         def _enc(x):
             for i, ch in enumerate((32, 64, 128)):
                 x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
-                                dtype=self.dtype)
+                                dtype=self.dtype,
+                                bn_axis_name=self.bn_axis_name)
             x = _flatten_channel_major(x)
             x = StackedBiRNN(
                 hidden_size=self.hidden_size,
@@ -250,8 +259,10 @@ class DeepConv2dBiRNN(Conv2dBiRNN):
 
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
         for i, ch in enumerate((32, 64, 128)):
-            x = _conv_block(x, ch, train, self.dropout_rate, name=str(i))
-        x = _conv_block(x, 128, train, self.dropout_rate, pool=False, name="3")
+            x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
+                            dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = _conv_block(x, 128, train, self.dropout_rate, pool=False, name="3",
+                        dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = _flatten_channel_major(x)
         return StackedBiRNN(
             hidden_size=self.hidden_size,

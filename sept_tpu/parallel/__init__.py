@@ -1,5 +1,6 @@
 """Parallelism: mesh setup, data-parallel shardings, multi-host init."""
 
+from sept_tpu.parallel.shard_map_dp import make_shard_map_dp_step
 from sept_tpu.parallel.mesh import (
     batch_sharding,
     init_distributed,
@@ -13,6 +14,7 @@ from sept_tpu.parallel.mesh import (
 __all__ = [
     "batch_sharding",
     "init_distributed",
+    "make_shard_map_dp_step",
     "make_mesh",
     "pad_batch_to_multiple",
     "replicate_state",

@@ -96,3 +96,31 @@ def test_dp_padding_mask_keeps_loss_exact():
     s_1, m_1 = step(state, {k: jnp.asarray(v) for k, v in padded.items()})
     assert float(m_dp["loss"]) == pytest.approx(float(m_1["loss"]), rel=1e-5)
     assert float(m_dp["count"]) == 13.0
+
+
+def test_shard_map_dp_matches_single_device():
+    """Explicit psum/pmean formulation == single-device step (dropout off)."""
+    from sept_tpu.parallel.shard_map_dp import make_shard_map_dp_step
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-3, hidden_size=16,
+                           weight_decay=0.0)
+    model = Conv2dBiRNN(hidden_size=16, pred="emotion", dropout_rate=0.0)
+    # sync-BN variant for the sharded run: batch stats all-reduced over the
+    # mesh axis so train-mode BN sees the GLOBAL batch, like single-device
+    model_sync = Conv2dBiRNN(hidden_size=16, pred="emotion", dropout_rate=0.0,
+                             bn_axis_name="data")
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    b = batch(16)
+    b["weight"][13:] = 0.0  # exercise the weighted-denominator psum
+    state = init_state(model, tx, KEY, {k: jnp.asarray(v) for k, v in b.items()})
+    step = make_baseline_step(model, tx)
+    s_ref, m_ref = step(state, {k: jnp.asarray(v) for k, v in b.items()})
+
+    mesh = make_mesh()
+    dp_step = make_shard_map_dp_step(model_sync, tx, mesh)
+    s_dp, m_dp = dp_step(replicate_state(state, mesh), shard_batch(b, mesh))
+
+    assert float(m_dp["loss"]) == pytest.approx(float(m_ref["loss"]), rel=1e-5)
+    assert float(m_dp["count"]) == 13.0
+    for a, c in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)
