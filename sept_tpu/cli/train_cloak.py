@@ -39,7 +39,6 @@ def run_fold(cfg, fold, ckpt, verbose=True):
         make_cloak_grl_step,
         make_cloak_optimizer,
         make_cloak_step,
-        make_eval_logits_fn,
     )
     from sept_tpu.train.loop import fit, speaker_weights
     from sept_tpu.train.steps import cloak_scales

@@ -40,7 +40,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from sept_tpu.models.backbone import Conv2dBiRNN, _Heads  # noqa: F401
 from sept_tpu.ops.grl import gradient_reversal
 
 __all__ = ["CloakNoise", "CloakedModel", "CloakedModelGRL"]

@@ -171,8 +171,6 @@ def make_epoch_runner(model, tx, use_global: bool = False):
     order (M,), n_batches, batch_size) -> (state, losses, correct, counts)``.
     """
 
-    label_is_emotion = model.pred == "emotion"
-
     @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
     def run(state, windows, labels, weights, order, *, n_batches, batch_size):
         def body(carry, i):
@@ -213,7 +211,6 @@ def make_epoch_runner(model, tx, use_global: bool = False):
         )
         return state, losses, correct, counts
 
-    del label_is_emotion
     return run
 
 
