@@ -9,12 +9,27 @@ import numpy as np
 
 from sept_tpu.train.config import ExperimentConfig
 
-__all__ = ["add_common_args", "config_from_args", "setup_seed"]
+__all__ = ["add_common_args", "config_from_args", "enable_compile_cache",
+           "setup_seed"]
+
+
+def enable_compile_cache(path: str = "/tmp/sept_tpu_jax_cache") -> None:
+    """Persistent XLA compile cache — compiles over a tunneled chip cost
+    minutes; repeat runs of the same shapes become instant."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def setup_seed(seed: int = 8) -> np.random.Generator:
     """Global determinism (the reference's setup_seed(8),
-    utils/training_tools.py:69-74); JAX randomness is threaded explicitly."""
+    utils/training_tools.py:69-74); JAX randomness is threaded explicitly.
+    Also enables the persistent compile cache (idempotent)."""
+    enable_compile_cache()
     np.random.seed(seed)
     random.seed(seed)
     return np.random.default_rng(seed)

@@ -36,6 +36,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None):
         make_eval_logits_fn,
         make_optimizer,
     )
+    from sept_tpu.train.device_loop import fit_device
     from sept_tpu.train.loop import fit, speaker_weights
 
     train_split = fold.adv_training if cfg.adv else fold.training
@@ -65,8 +66,14 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None):
     logits_fn = make_eval_logits_fn(model, use_global=cfg.global_feature,
                                     pooling=pooling)
     spk_w = speaker_weights(train_split) if "combine" in cfg.dataset else None
-    result = fit(state, step, logits_fn, train_split, val_split, fold.test, cfg,
-                 spk_weights=spk_w, verbose=verbose)
+    if not cfg.global_feature and cfg.pred in ("emotion", "gender"):
+        # fast path: device-resident splits + scanned epochs
+        result = fit_device(state, model, tx, train_split, val_split,
+                            fold.test, cfg, logits_fn, spk_weights=spk_w,
+                            verbose=verbose)
+    else:
+        result = fit(state, step, logits_fn, train_split, val_split,
+                     fold.test, cfg, spk_weights=spk_w, verbose=verbose)
     if metrics_path:
         from sept_tpu.utils import MetricsLogger
 

@@ -1,0 +1,168 @@
+"""Device-resident fold training: scanned epochs, host-side control flow.
+
+The portable fit() loop (sept_tpu.train.loop) dispatches one jitted step per
+batch — correct everywhere, but per-step dispatch costs ~55 ms over this
+machine's tunneled chip.  This module uploads a fold's splits to HBM once
+and runs each training epoch and each validation pass as ONE scanned device
+program; only per-epoch scalars return to host, where the reference's
+control flow (best-by-val-acc after epoch 10, early stopping, plateau
+scaling — training_adversary_baselines.py:440-460) decides what happens
+next.  The sliding-window test vote stays the batched/vmapped evaluator.
+
+Restrictions (fall back to loop.fit otherwise): no 88-dim global feature,
+single-task pred.  Numerical behavior matches the per-step path up to batch
+shuffling granularity (the scanned epoch reshuffles identically via the
+same numpy permutation stream).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sept_tpu.data.pipeline import SplitArrays
+from sept_tpu.eval import metrics as M
+from sept_tpu.train.config import ExperimentConfig
+from sept_tpu.train.loop import EarlyStopping, FitResult, run_test
+from sept_tpu.train.optim import PlateauScheduler, set_lr_scale
+from sept_tpu.train.steps import make_epoch_runner, weighted_ce
+
+__all__ = ["DeviceSplit", "fit_device"]
+
+
+class DeviceSplit:
+    """One split's windows/labels/weights resident in HBM, padded to a
+    batch-size multiple with zero-weight rows."""
+
+    def __init__(self, split: SplitArrays, label_key: str, batch_size: int,
+                 extra_weights: Optional[np.ndarray] = None):
+        n = len(split)
+        pad = (-n) % batch_size
+        w = np.ones(n + pad, np.float32)
+        w[n:] = 0.0
+        if extra_weights is not None:
+            w[:n] *= extra_weights
+        windows = split.windows
+        if pad:
+            windows = np.concatenate(
+                [windows, np.zeros((pad,) + windows.shape[1:], windows.dtype)]
+            )
+        labels = np.concatenate(
+            [getattr(split, label_key), np.zeros(pad, np.int32)]
+        )
+        self.windows = jnp.asarray(windows)
+        self.labels = jnp.asarray(labels)
+        self.weights = jnp.asarray(w)
+        self.n_real = n
+        self.n_batches = (n + pad) // batch_size
+        self.batch_size = batch_size
+
+
+def _masked_uar(truth: np.ndarray, preds: np.ndarray, valid: np.ndarray):
+    t, p = truth[valid], preds[valid]
+    return M.accuracy(t, p), M.uar(t, p)
+
+
+def fit_device(
+    state,
+    model,
+    tx,
+    train_split: SplitArrays,
+    val_split: SplitArrays,
+    test_split: SplitArrays,
+    cfg: ExperimentConfig,
+    logits_fn,
+    spk_weights: Optional[dict] = None,
+    verbose: bool = True,
+) -> FitResult:
+    """loop.fit with scanned device epochs (baseline/adversary workloads)."""
+    label_key = "labels_gen" if cfg.pred == "gender" else "labels_emo"
+    extra = None
+    if spk_weights is not None:
+        extra = np.array(
+            [
+                spk_weights.get(f"{s}_{d}", 1.0)
+                for s, d in zip(train_split.speaker_ids, train_split.datasets)
+            ],
+            dtype=np.float32,
+        )
+    train_ds = DeviceSplit(train_split, label_key, cfg.batch_size, extra)
+    val_ds = DeviceSplit(val_split, label_key, cfg.batch_size)
+
+    run_epoch = make_epoch_runner(model, tx)
+
+    @jax.jit
+    def val_pass(params, batch_stats, windows, labels, weights):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, windows[..., None]
+        )
+        loss = weighted_ce(logits, labels, weights)
+        preds = jnp.argmax(logits, -1)
+        return loss, preds
+
+    rng = np.random.default_rng(cfg.seed)
+    early = EarlyStopping(patience=cfg.early_stop_patience)
+    plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
+    min_sel = min(cfg.min_select_epoch, max(cfg.num_epochs - 2, 0))
+
+    best_val_acc, best_epoch = 0.0, 0
+    best_state = state
+    final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
+    history = []
+    m_total = train_ds.n_batches * train_ds.batch_size
+    for epoch in range(cfg.num_epochs):
+        order = jnp.asarray(rng.permutation(m_total))
+        state, losses, correct, counts = run_epoch(
+            state, train_ds.windows, train_ds.labels, train_ds.weights, order,
+            n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,
+        )
+        train_loss = float(jnp.mean(losses))
+        train_acc = float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8))
+
+        val_loss, val_preds = val_pass(
+            state.params, state.batch_stats, val_ds.windows, val_ds.labels,
+            val_ds.weights,
+        )
+        val_loss = float(val_loss)
+        valid = np.asarray(val_ds.weights) > 0
+        val_acc, val_uar = _masked_uar(
+            np.asarray(val_ds.labels), np.asarray(val_preds), valid
+        )
+
+        test_m = run_test(logits_fn, state, test_split, cfg)
+        history.append({
+            "train": {"loss": train_loss, "acc": train_acc},
+            "validate": {"loss": val_loss, "acc": val_acc, "uar": val_uar},
+            "test": test_m,
+        })
+
+        if cfg.optimizer == "adam":
+            state = dataclasses.replace(
+                state, opt_state=set_lr_scale(state.opt_state, plateau.step(val_loss))
+            )
+        if val_acc >= best_val_acc and epoch >= min_sel:
+            best_val_acc, best_epoch, best_state, final = val_acc, epoch, state, test_m
+        if verbose:
+            print(
+                f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
+                f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
+                f" uar {test_m['uar']:.3f}"
+            )
+        if epoch >= min_sel and early(val_loss):
+            if verbose:
+                print("early stopping")
+            break
+
+    return FitResult(
+        best_state=best_state,
+        best_epoch=best_epoch,
+        best_val_acc=best_val_acc,
+        final_test_acc=final["acc"],
+        final_test_uar=final["uar"],
+        final_confusion=final["conf"],
+        history=history,
+    )
