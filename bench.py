@@ -28,11 +28,9 @@ def main():
 
     # persistent compile cache: repeat bench runs skip the (slow, tunneled)
     # XLA compilation of the ingest + scanned-epoch programs
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/sept_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from sept_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from sept_tpu.models import Conv2dBiRNN

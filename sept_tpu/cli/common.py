@@ -13,12 +13,15 @@ __all__ = ["add_common_args", "config_from_args", "enable_compile_cache",
            "setup_seed"]
 
 
-def enable_compile_cache(path: str = "/tmp/sept_tpu_jax_cache") -> None:
+def enable_compile_cache(path: str | None = None) -> None:
     """Persistent XLA compile cache — compiles over a tunneled chip cost
-    minutes; repeat runs of the same shapes become instant."""
+    minutes; repeat runs of the same shapes become instant.  The cache dir is
+    scoped per backend (CPU AOT artifacts are machine-feature-specific)."""
     import jax
 
     try:
+        if path is None:
+            path = f"/tmp/sept_tpu_jax_cache_{jax.default_backend()}"
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -66,7 +66,12 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None):
     logits_fn = make_eval_logits_fn(model, use_global=cfg.global_feature,
                                     pooling=pooling)
     spk_w = speaker_weights(train_split) if "combine" in cfg.dataset else None
-    if not cfg.global_feature and cfg.pred in ("emotion", "gender"):
+    use_device_loop = (
+        not cfg.global_feature
+        and cfg.pred in ("emotion", "gender")
+        and jax.default_backend() != "cpu"  # scan compile is slow on CPU
+    )
+    if use_device_loop:
         # fast path: device-resident splits + scanned epochs
         result = fit_device(state, model, tx, train_split, val_split,
                             fold.test, cfg, logits_fn, spk_weights=spk_w,

@@ -128,10 +128,18 @@ def run_fold(cfg, fold, ckpt, verbose=True):
         return out[0]
 
     spk_w = speaker_weights(fold.training) if "combine" in cfg.dataset else None
-    result = fit(
-        state, step, jax.jit(eval_logits), fold.training, fold.validation,
-        fold.test, cfg, spk_weights=spk_w, mask=mask, verbose=verbose,
-    )
+    if not cfg.global_feature and jax.default_backend() != "cpu":
+        from sept_tpu.train.device_loop import fit_device_cloak
+
+        result = fit_device_cloak(
+            state, model, tx, fold.training, fold.validation, fold.test, cfg,
+            jax.jit(eval_logits), mask=mask, spk_weights=spk_w, verbose=verbose,
+        )
+    else:
+        result = fit(
+            state, step, jax.jit(eval_logits), fold.training, fold.validation,
+            fold.test, cfg, spk_weights=spk_w, mask=mask, verbose=verbose,
+        )
 
     scales = np.asarray(cloak_scales(model, result.best_state.params))
     ckpt.save(

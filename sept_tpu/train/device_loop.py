@@ -29,9 +29,13 @@ from sept_tpu.eval import metrics as M
 from sept_tpu.train.config import ExperimentConfig
 from sept_tpu.train.loop import EarlyStopping, FitResult, run_test
 from sept_tpu.train.optim import PlateauScheduler, set_lr_scale
-from sept_tpu.train.steps import make_epoch_runner, weighted_ce
+from sept_tpu.train.steps import (
+    make_cloak_epoch_runner,
+    make_epoch_runner,
+    weighted_ce,
+)
 
-__all__ = ["DeviceSplit", "fit_device"]
+__all__ = ["DeviceSplit", "fit_device", "fit_device_cloak"]
 
 
 class DeviceSplit:
@@ -51,11 +55,16 @@ class DeviceSplit:
             windows = np.concatenate(
                 [windows, np.zeros((pad,) + windows.shape[1:], windows.dtype)]
             )
-        labels = np.concatenate(
-            [getattr(split, label_key), np.zeros(pad, np.int32)]
-        )
         self.windows = jnp.asarray(windows)
-        self.labels = jnp.asarray(labels)
+        self.labels_emo = jnp.asarray(
+            np.concatenate([split.labels_emo, np.zeros(pad, np.int32)])
+        )
+        self.labels_gen = jnp.asarray(
+            np.concatenate([split.labels_gen, np.zeros(pad, np.int32)])
+        )
+        self.labels = (
+            self.labels_gen if label_key == "labels_gen" else self.labels_emo
+        )
         self.weights = jnp.asarray(w)
         self.n_real = n
         self.n_batches = (n + pad) // batch_size
@@ -165,4 +174,105 @@ def fit_device(
         final_test_uar=final["uar"],
         final_confusion=final["conf"],
         history=history,
+    )
+
+
+def fit_device_cloak(
+    state,
+    model,
+    tx,
+    train_split: SplitArrays,
+    val_split: SplitArrays,
+    test_split: SplitArrays,
+    cfg: ExperimentConfig,
+    eval_logits_fn,
+    mask=None,
+    spk_weights: Optional[dict] = None,
+    verbose: bool = True,
+) -> FitResult:
+    """Device-resident cloak / cloak+GRL training with scanned epochs.
+
+    ``eval_logits_fn(params, batch_stats, spec, global) -> emotion logits``
+    should run the cloak forward with a fixed noise key (as the CLIs build).
+    """
+    extra = None
+    if spk_weights is not None:
+        extra = np.array(
+            [
+                spk_weights.get(f"{s}_{d}", 1.0)
+                for s, d in zip(train_split.speaker_ids, train_split.datasets)
+            ],
+            dtype=np.float32,
+        )
+    train_ds = DeviceSplit(train_split, "labels_emo", cfg.batch_size, extra)
+    val_ds = DeviceSplit(val_split, "labels_emo", cfg.batch_size)
+    mask_j = None if mask is None else jnp.asarray(mask)
+
+    run_epoch = make_cloak_epoch_runner(
+        model, tx, scale_lambda=cfg.scale_lambda,
+        gender_lambda=cfg.gender_lambda, grl=cfg.grl,
+        apply_scale_reg=cfg.suppression_ratio == 0,
+        pooling=None if "deep" in cfg.model_type else "mean",
+    )
+
+    @jax.jit
+    def val_pass(params, batch_stats, windows, labels, weights):
+        logits = eval_logits_fn(params, batch_stats, windows[..., None], None)
+        return weighted_ce(logits, labels, weights), jnp.argmax(logits, -1)
+
+    rng = np.random.default_rng(cfg.seed)
+    early = EarlyStopping(patience=cfg.early_stop_patience)
+    plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
+    min_sel = min(cfg.min_select_epoch, max(cfg.num_epochs - 2, 0))
+
+    best_val_acc, best_epoch = 0.0, 0
+    best_state = state
+    final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
+    history = []
+    m_total = train_ds.n_batches * train_ds.batch_size
+    for epoch in range(cfg.num_epochs):
+        order = jnp.asarray(rng.permutation(m_total))
+        state, losses, correct, counts = run_epoch(
+            state, train_ds.windows, train_ds.labels_emo, train_ds.labels_gen,
+            train_ds.weights, order, mask_j,
+            n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,
+        )
+        train_loss = float(jnp.mean(losses))
+        train_acc = float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8))
+
+        val_loss, val_preds = val_pass(
+            state.params, state.batch_stats, val_ds.windows,
+            val_ds.labels_emo, val_ds.weights,
+        )
+        val_loss = float(val_loss)
+        valid = np.asarray(val_ds.weights) > 0
+        val_acc, val_uar = _masked_uar(
+            np.asarray(val_ds.labels_emo), np.asarray(val_preds), valid
+        )
+        test_m = run_test(eval_logits_fn, state, test_split, cfg)
+        history.append({
+            "train": {"loss": train_loss, "acc": train_acc},
+            "validate": {"loss": val_loss, "acc": val_acc, "uar": val_uar},
+            "test": test_m,
+        })
+        if cfg.optimizer == "adam":
+            state = dataclasses.replace(
+                state, opt_state=set_lr_scale(state.opt_state, plateau.step(val_loss))
+            )
+        if val_acc >= best_val_acc and epoch >= min_sel:
+            best_val_acc, best_epoch, best_state, final = val_acc, epoch, state, test_m
+        if verbose:
+            print(
+                f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
+                f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
+            )
+        if epoch >= min_sel and early(val_loss):
+            if verbose:
+                print("early stopping")
+            break
+
+    return FitResult(
+        best_state=best_state, best_epoch=best_epoch, best_val_acc=best_val_acc,
+        final_test_acc=final["acc"], final_test_uar=final["uar"],
+        final_confusion=final["conf"], history=history,
     )

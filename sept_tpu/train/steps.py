@@ -214,6 +214,79 @@ def make_epoch_runner(model, tx, use_global: bool = False):
     return run
 
 
+def make_cloak_epoch_runner(
+    model,
+    tx,
+    scale_lambda: float = 0.0,
+    gender_lambda: float = 0.1,
+    grl: bool = False,
+    apply_scale_reg: bool = True,
+    pooling: Optional[str] = "mean",
+):
+    """Whole-epoch cloak / cloak+GRL trainer as one scanned device program.
+
+    Like make_epoch_runner but for the cloak workloads: the scan body is the
+    cloak (or GRL minimax) loss with per-batch noise/dropout keys split from
+    the carried rng.  ``run(state, windows (M,T,D), labels_emo, labels_gen,
+    weights, order, mask, n_batches, batch_size)``; pass ``mask=None`` for
+    unsuppressed training.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
+    def run(state, windows, labels_emo, labels_gen, weights, order, mask,
+            *, n_batches, batch_size):
+        def body(st, i):
+            idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
+            spec = windows[idx][..., None]
+            le, lg, w = labels_emo[idx], labels_gen[idx], weights[idx]
+            rng, n_rng, d_rng = jax.random.split(st.rng, 3)
+
+            def loss_fn(params):
+                if grl:
+                    (emo_l, gen_l, _), mut = model.apply(
+                        {"params": params, "batch_stats": st.batch_stats},
+                        spec, mask=mask, train=True, pooling=pooling,
+                        rngs={"noise": n_rng, "dropout": d_rng},
+                        mutable=["batch_stats"],
+                    )
+                    loss = weighted_ce(emo_l, le, w) + gender_lambda * weighted_ce(
+                        gen_l, lg, w
+                    )
+                    logits, bs = emo_l, mut["batch_stats"]
+                else:
+                    logits, _ = model.apply(
+                        {"params": params, "batch_stats": st.batch_stats},
+                        spec, mask=mask, train=True, pooling=pooling,
+                        rngs={"noise": n_rng},
+                    )
+                    loss = weighted_ce(logits, le, w)
+                    bs = st.batch_stats
+                if apply_scale_reg and scale_lambda:
+                    loss = loss - scale_lambda * jnp.log(
+                        jnp.mean(cloak_scales(model, params))
+                    )
+                return loss, (logits, bs)
+
+            (loss, (logits, bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            new_st = TrainState(
+                params=params, batch_stats=bs, opt_state=opt_state,
+                rng=rng, step=st.step + 1,
+            )
+            correct = jnp.sum((jnp.argmax(logits, -1) == le) * w)
+            return new_st, (loss, correct, jnp.sum(w))
+
+        state, (losses, correct, counts) = jax.lax.scan(
+            body, state, jnp.arange(n_batches)
+        )
+        return state, losses, correct, counts
+
+    return run
+
+
 def make_eval_logits_fn(model, use_global: bool = False, **apply_kwargs):
     """Jitted eval forward: (params, batch_stats, spec, global) -> logits."""
 

@@ -106,3 +106,35 @@ def test_fit_device_learns_and_tracks_best():
     assert len(result.history) >= 1
     assert result.history[-1]["train"]["loss"] < result.history[0]["train"]["loss"]
     assert result.final_test_uar >= 0.25  # at least chance with best-tracking
+
+
+def test_cloak_epoch_runner_moves_only_noise():
+    """Scanned cloak epoch: noise params move, frozen backbone bit-exact."""
+    from sept_tpu.models import CloakedModel
+    from sept_tpu.train import ExperimentConfig, make_cloak_optimizer
+    from sept_tpu.train.steps import TrainState, make_cloak_epoch_runner
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2,
+                           scale_lambda=0.1, hidden_size=8)
+    backbone = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    model = CloakedModel(backbone=backbone, win_len=T, n_feats=D)
+    key = jax.random.PRNGKey(8)
+    windows = jax.random.normal(key, (M, T, D))
+    v = jax.jit(model.init)({"params": key, "noise": key}, windows[:BATCH][..., None])
+    tx = make_cloak_optimizer(cfg, 10, v["params"], ("noise",))
+    state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                       opt_state=tx.init(v["params"]), rng=key,
+                       step=jnp.zeros((), jnp.int32))
+    run = make_cloak_epoch_runner(model, tx, scale_lambda=0.1)
+    labels = jnp.asarray(np.arange(M) % 4, jnp.int32)
+    order = jnp.asarray(np.arange(M))
+    s1, losses, correct, counts = run(
+        state, windows, labels, labels % 2, jnp.ones(M), order, None,
+        n_batches=M // BATCH, batch_size=BATCH,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+    assert float(jnp.max(jnp.abs(
+        s1.params["noise"]["locs"] - state.params["noise"]["locs"]))) > 0
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state.params["backbone"], s1.params["backbone"])
+    assert max(jax.tree.leaves(d)) == 0.0
