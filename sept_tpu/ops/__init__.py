@@ -14,13 +14,19 @@ from sept_tpu.ops.frontend import (
     np_gradient,
     stft_power,
 )
+from sept_tpu.ops.egemaps import N_GEMAPS, egemaps_functionals
 from sept_tpu.ops.grl import gradient_reversal
+from sept_tpu.ops.pallas_frontend import pallas_mel_spectrogram, pallas_mfcc
 
 __all__ = [
     "amplitude_to_db",
     "create_dct",
     "frame_signal",
+    "N_GEMAPS",
+    "egemaps_functionals",
     "gradient_reversal",
+    "pallas_mel_spectrogram",
+    "pallas_mfcc",
     "hann_window",
     "hz_to_mel",
     "mel_to_hz",
