@@ -57,13 +57,14 @@ def run_fold(cfg, fold, ckpt, verbose=True):
         model = CloakedModelGRL(
             emotion_backbone=backbone, gender_backbone=gender,
             grl_lambda=cfg.grl_lambda, win_len=cfg.win_len,
-            n_feats=cfg.feature_len, max_scale=cfg.noise_max_scale,
+            n_feats=cfg.feature_len, min_scale=cfg.noise_min_scale,
+            max_scale=cfg.noise_max_scale,
         )
         trainable = ("noise", "gender_backbone")
     else:
         model = CloakedModel(
             backbone=backbone, win_len=cfg.win_len, n_feats=cfg.feature_len,
-            max_scale=cfg.noise_max_scale,
+            min_scale=cfg.noise_min_scale, max_scale=cfg.noise_max_scale,
         )
         trainable = ("noise",)
 
@@ -97,7 +98,11 @@ def run_fold(cfg, fold, ckpt, verbose=True):
         scales = np.asarray(cloak_scales(model, params))
         mask = jnp.asarray(train_mask(scales, cfg.suppression_ratio))
 
-    tx = make_cloak_optimizer(cfg, 10, params, trainable)
+    steps_per_epoch = max(1, len(fold.training) // cfg.batch_size)
+    tx = make_cloak_optimizer(
+        cfg, steps_per_epoch, params, trainable,
+        freeze_rhos=bool(cfg.suppression_ratio),
+    )
     state = TrainState(
         params=params, batch_stats=batch_stats, opt_state=tx.init(params),
         rng=jax.random.PRNGKey(cfg.seed), step=jnp.zeros((), jnp.int32),

@@ -178,8 +178,15 @@ def assemble_fold(
         dsets = np.empty(n, dtype=object)
         uids = np.empty(n, dtype=object)
         for i, (data, utt, gdata, t) in enumerate(items):
-            normed = norm_mod.apply_norm(data, stats[utt.speaker_id], norm)
-            windows[i, : len(normed)] = normed
+            # pad THEN normalize: the reference fillna(0)-pads the window
+            # before per-speaker normalization, so pad rows become
+            # (0 - mean)/std rather than raw zeros
+            # (preprocess_adversary_data.py:29-34,373-385)
+            if len(data) < pad_t:
+                padded = np.zeros((pad_t, data.shape[1]), dtype=data.dtype)
+                padded[: len(data)] = data
+                data = padded
+            windows[i] = norm_mod.apply_norm(data, stats[utt.speaker_id], norm)
             labels_emo[i] = EMO_LABELS[utt.label]
             labels_gen[i] = GENDER_LABELS[utt.gender]
             lengths[i] = t

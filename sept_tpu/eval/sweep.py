@@ -69,14 +69,20 @@ def evaluate_cloaked_test(
     """
     rng = jax.random.PRNGKey(noise_seed)
 
-    def emo_window_logits(wins, g):
-        return emotion_logits_fn(noise_apply(wins, mask, rng), g)
+    # ONE pass: noise each window once, feed BOTH frozen models, per-head
+    # softmax inside the vote (reference computes noisy once and runs both,
+    # adversary_cloak_evaluation.py:78-83)
+    def joint_logits(params, stats, wins, g):
+        noised = noise_apply(wins, mask, rng)
+        return jnp.concatenate(
+            [emotion_logits_fn(noised, g), adversary_logits_fn(noised, g)],
+            axis=-1,
+        )
 
-    def adv_window_logits(wins, g):
-        return adversary_logits_fn(noise_apply(wins, mask, rng), g)
-
-    emo_vote = make_sliding_vote_fn(emo_window_logits, win_len, shift_len)
-    adv_vote = make_sliding_vote_fn(adv_window_logits, win_len, shift_len)
+    n_emo = 4
+    vote = make_sliding_vote_fn(
+        joint_logits, win_len, shift_len, head_sizes=(n_emo, 2)
+    )
 
     emo_preds, adv_preds = [], []
     n = len(test)
@@ -90,10 +96,10 @@ def evaluate_cloaked_test(
                 [specs, np.zeros((pad,) + specs.shape[1:], specs.dtype)]
             )
             lengths = np.concatenate([lengths, np.full(pad, win_len, np.int32)])
-        p, _ = emo_vote(specs, lengths, None)
-        emo_preds.append(np.asarray(jnp.argmax(p, -1))[: hi - lo])
-        p, _ = adv_vote(specs, lengths, None)
-        adv_preds.append(np.asarray(jnp.argmax(p, -1))[: hi - lo])
+        p, _ = vote(None, None, specs, lengths, None)
+        p = np.asarray(p)
+        emo_preds.append(np.argmax(p[: hi - lo, :n_emo], -1))
+        adv_preds.append(np.argmax(p[: hi - lo, n_emo:], -1))
 
     emo_preds = np.concatenate(emo_preds)
     adv_preds = np.concatenate(adv_preds)

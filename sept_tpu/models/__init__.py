@@ -42,5 +42,6 @@ def build_backbone(model_type: str, **kwargs):
         kwargs.pop("hidden_size", None)
         kwargs.pop("rnn_cell", None)
         kwargs.pop("att", None)
+        kwargs.pop("attention_size", None)
         return PlainConv2d(**kwargs)
     raise ValueError(f"unknown model_type: {model_type!r}")

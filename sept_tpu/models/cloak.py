@@ -101,6 +101,7 @@ class CloakedModel(nn.Module):
     backbone: nn.Module
     win_len: int = 200
     n_feats: int = 128
+    min_scale: float = 0.01
     max_scale: float = 10.0
 
     @nn.compact
@@ -115,6 +116,7 @@ class CloakedModel(nn.Module):
         noise = CloakNoise(
             win_len=self.win_len,
             n_feats=self.n_feats,
+            min_scale=self.min_scale,
             max_scale=self.max_scale,
             name="noise",
         )
@@ -148,6 +150,7 @@ class CloakedModelGRL(nn.Module):
     grl_lambda: float = 0.1
     win_len: int = 200
     n_feats: int = 128
+    min_scale: float = 0.01
     max_scale: float = 10.0
 
     @nn.compact
@@ -162,6 +165,7 @@ class CloakedModelGRL(nn.Module):
         noise = CloakNoise(
             win_len=self.win_len,
             n_feats=self.n_feats,
+            min_scale=self.min_scale,
             max_scale=self.max_scale,
             name="noise",
         )

@@ -56,7 +56,11 @@ class CheckpointManager:
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
         if manifest is not None:
-            with open(os.path.join(os.path.dirname(path), "manifest.json"), "w") as f:
+            # one manifest per fold, next to (not inside) the Orbax dir
+            mpath = os.path.join(
+                os.path.dirname(path), f"manifest_fold{fold}.json"
+            )
+            with open(mpath, "w") as f:
                 json.dump(_jsonable(manifest), f, indent=2)
         return path
 

@@ -53,6 +53,10 @@ class ExperimentConfig:
     plateau_factor: float = 0.2
     early_stop_patience: int = 10
     min_select_epoch: int = 10  # best-by-val-acc only after epoch 10 (:404)
+    # the baseline trainer only BREAKS on early stopping for non-SGD
+    # (training_adversary_baselines.py:477-479); the cloak trainer always
+    # breaks (training_cloak.py:440)
+    early_stop_with_sgd: bool = True
 
     # cloak
     scale_lambda: float = 0.0
@@ -77,9 +81,11 @@ _PRESETS = {
     # training_adversary_baselines.py: SGD lr 1e-4 StepLR(5, 0.5), 100 epochs
     # when sgd (:424-439); adam lr 5e-5
     "baseline": dict(optimizer="sgd", learning_rate=1e-4, lr_step_epochs=5,
-                     num_epochs=100, pred="emotion", adv=False),
+                     num_epochs=100, pred="emotion", adv=False,
+                     early_stop_with_sgd=False),
     "adversary": dict(optimizer="sgd", learning_rate=1e-4, lr_step_epochs=5,
-                      num_epochs=100, pred="gender", adv=True),
+                      num_epochs=100, pred="gender", adv=True,
+                      early_stop_with_sgd=False),
     # training_cloak.py: SGD lr 1e-3 StepLR(10, 0.5) (:377-379); adam 5e-4
     "cloak": dict(optimizer="sgd", learning_rate=1e-3, lr_step_epochs=10,
                   num_epochs=30, pred="emotion", scale_lambda=0.1),

@@ -161,7 +161,8 @@ def fit_device(
                 f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
                 f" uar {test_m['uar']:.3f}"
             )
-        if epoch >= min_sel and early(val_loss):
+        stop_allowed = cfg.optimizer != "sgd" or cfg.early_stop_with_sgd
+        if epoch >= min_sel and early(val_loss) and stop_allowed:
             if verbose:
                 print("early stopping")
             break

@@ -112,7 +112,7 @@ def run_train_epoch(
 ):
     """One training pass; returns (state, {'loss', 'acc', 'uar', ...})."""
     label_key = label_key or (
-        "labels_emo" if cfg.pred == "emotion" else "labels_gen"
+        "labels_gen" if cfg.pred == "gender" else "labels_emo"
     )
     losses, all_preds, all_truth, all_w = [], [], [], []
     for batch in batch_iterator(split, cfg.batch_size, rng, shuffle=True):
@@ -145,7 +145,7 @@ def run_eval_epoch(
 ):
     """Validation pass (eval-mode forward, windowed batches)."""
     label_key = label_key or (
-        "labels_emo" if cfg.pred == "emotion" else "labels_gen"
+        "labels_gen" if cfg.pred == "gender" else "labels_emo"
     )
     rng = np.random.default_rng(0)
     losses, all_preds, all_truth, all_w = [], [], [], []
@@ -154,6 +154,8 @@ def run_eval_epoch(
         logits = logits_fn(
             state.params, state.batch_stats, db["spec"], db.get("global")
         )
+        if isinstance(logits, tuple):  # multitask: metrics track emotion head
+            logits = logits[0]
         logp = jax.nn.log_softmax(logits)
         labels = db[label_key]
         w = db["weight"]
@@ -171,6 +173,26 @@ def run_eval_epoch(
     }
 
 
+# one compiled vote program per (logits_fn, window geometry): params are jit
+# ARGUMENTS, so the same executable serves every epoch of a fold
+_VOTE_CACHE: dict = {}
+
+
+def _cached_vote(logits_fn, win_len: int, shift_len: int):
+    key = (id(logits_fn), win_len, shift_len)
+    if key not in _VOTE_CACHE:
+
+        def param_logits(params, batch_stats, wins, g):
+            out = logits_fn(params, batch_stats, wins, g)
+            # multitask models return (emotion, gender); metrics track emotion
+            return out[0] if isinstance(out, tuple) else out
+
+        _VOTE_CACHE[key] = make_sliding_vote_fn(param_logits, win_len, shift_len)
+        if len(_VOTE_CACHE) > 64:
+            _VOTE_CACHE.pop(next(iter(_VOTE_CACHE)))
+    return _VOTE_CACHE[key]
+
+
 def run_test(
     logits_fn: Callable,
     state,
@@ -182,13 +204,9 @@ def run_test(
     """Sliding-window vote over whole test utterances
     (training_cloak.py:66-81 protocol, batched + vmapped)."""
     label_key = label_key or (
-        "labels_emo" if cfg.pred == "emotion" else "labels_gen"
+        "labels_gen" if cfg.pred == "gender" else "labels_emo"
     )
-
-    def window_logits(wins, g):
-        return logits_fn(state.params, state.batch_stats, wins, g)
-
-    vote = make_sliding_vote_fn(window_logits, cfg.win_len, cfg.shift_len)
+    vote = _cached_vote(logits_fn, cfg.win_len, cfg.shift_len)
     preds = []
     n = len(test)
     for lo in range(0, n, batch_size):
@@ -202,7 +220,7 @@ def run_test(
             lengths = np.concatenate([lengths, np.full(pad, cfg.win_len, np.int32)])
             if g is not None:
                 g = np.concatenate([g, np.zeros((pad, g.shape[1]), g.dtype)])
-        probs, _ = vote(specs, lengths, g)
+        probs, _ = vote(state.params, state.batch_stats, specs, lengths, g)
         preds.append(np.asarray(jnp.argmax(probs, -1))[: hi - lo])
     preds = np.concatenate(preds) if preds else np.zeros(0, np.int64)
     truth = getattr(test, label_key)
@@ -297,7 +315,8 @@ def fit(
                 f"| test acc {test_m['acc']:.3f} uar {test_m['uar']:.3f}"
             )
 
-        if epoch >= min_sel and early(val_m["loss"]):
+        stop_allowed = cfg.optimizer != "sgd" or cfg.early_stop_with_sgd
+        if epoch >= min_sel and early(val_m["loss"]) and stop_allowed:
             if verbose:
                 print("early stopping")
             break

@@ -78,12 +78,31 @@ def make_optimizer(
     )
 
 
-def partition_labels(params, trainable_prefixes: Iterable[str]):
-    """Label each top-level parameter subtree 'trainable' or 'frozen'."""
+def partition_labels(params, trainable_prefixes: Iterable[str],
+                     freeze_rhos: bool = False):
+    """Label each parameter leaf 'trainable' or 'frozen' by path.
+
+    Top-level subtrees in ``trainable_prefixes`` are trainable; with
+    ``freeze_rhos`` the noise/rhos leaf is frozen anyway — suppression runs
+    load the suppression_0 cloak and train ONLY the means
+    (training_cloak.py:367 sets rhos.requires_grad = False).
+    """
+    import jax.tree_util as jtu
+
     prefixes = tuple(trainable_prefixes)
-    return {
-        k: ("trainable" if k in prefixes else "frozen") for k in params
-    }
+
+    def label(path, _leaf):
+        keys = tuple(
+            k.key if isinstance(k, jtu.DictKey) else getattr(k, "name", str(k))
+            for k in path
+        )
+        if keys and keys[0] in prefixes:
+            if freeze_rhos and keys[:2] == ("noise", "rhos"):
+                return "frozen"
+            return "trainable"
+        return "frozen"
+
+    return jtu.tree_map_with_path(label, params)
 
 
 def make_cloak_optimizer(
@@ -91,14 +110,16 @@ def make_cloak_optimizer(
     steps_per_epoch: int,
     params,
     trainable_prefixes: Iterable[str] = ("noise",),
+    freeze_rhos: bool = False,
 ) -> optax.GradientTransformation:
     """Optimizer updating only the cloak-trainable partition.
 
     For the plain cloak: only 'noise'.  For the GRL game: ('noise',
     'gender_backbone') — the frozen emotion backbone gets zero updates
-    (training_cloak_with_grl.py:416-421).
+    (training_cloak_with_grl.py:416-421).  ``freeze_rhos`` pins the noise
+    scales for suppression runs (training_cloak.py:367).
     """
-    labels = partition_labels(params, trainable_prefixes)
+    labels = partition_labels(params, trainable_prefixes, freeze_rhos)
     return optax.chain(
         optax.multi_transform(
             {

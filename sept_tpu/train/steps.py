@@ -306,9 +306,10 @@ def make_eval_logits_fn(model, use_global: bool = False, **apply_kwargs):
 def cloak_scales(model, params) -> jax.Array:
     """Current noise scales from a cloak model's params (tanh squash)."""
     rhos = params["noise"]["rhos"]
+    min_scale = getattr(model, "min_scale", 0.01)
     return (1.0 + jnp.tanh(rhos)) / 2.0 * (
-        model.max_scale - 0.01
-    ) + 0.01
+        model.max_scale - min_scale
+    ) + min_scale
 
 
 def make_cloak_step(

@@ -220,11 +220,24 @@ def test_fold_training_is_emotion_balanced(synth_fold):
 
 def test_fold_test_lengths_and_padding(synth_fold):
     corpus, store, fold = synth_fold
+    from sept_tpu.data.normalize import SpeakerStats, apply_norm
+
     for i in range(len(fold.test)):
         t = fold.test.lengths[i]
         assert t == store[fold.test.utt_ids[i]]["mel1"].shape[1]
-        # padding beyond the true length is zero
-        np.testing.assert_array_equal(fold.test.windows[i, t:], 0.0)
+        # pad rows are NORMALIZED zeros — the reference zero-pads BEFORE
+        # per-speaker normalization (preprocess_adversary_data.py:29-34,373-385)
+        spk = fold.test.speaker_ids[i]
+        rows = np.concatenate(
+            [store[u]["mel1"].T for u in store
+             if u.startswith(str(spk))]
+        )
+        stats = SpeakerStats.from_frames(rows)
+        expect = apply_norm(np.zeros((1, rows.shape[1])), stats, "znorm")[0]
+        pad = fold.test.windows[i, t:]
+        if len(pad):
+            np.testing.assert_allclose(pad, np.broadcast_to(expect, pad.shape),
+                                       atol=1e-4)
 
 
 def test_batch_iterator_pads_final_batch(synth_fold):

@@ -16,7 +16,7 @@ def test_sliding_vote_matches_reference_loop():
     rng = np.random.default_rng(8)
     w = rng.standard_normal((win * d, 3)).astype(np.float32)  # fake "model"
 
-    def logits_fn(wins, g):
+    def logits_fn(params, stats, wins, g):
         flat = wins[..., 0].reshape(wins.shape[0], -1)
         return jnp.asarray(flat) @ jnp.asarray(w)
 
@@ -27,7 +27,7 @@ def test_sliding_vote_matches_reference_loop():
         specs[i, :t] = rng.standard_normal((t, d))
 
     vote = make_sliding_vote_fn(logits_fn, win, shift)
-    probs, n_valid = vote(specs, lengths, None)
+    probs, n_valid = vote(None, None, specs, lengths, None)
 
     # reference loop
     for i, t in enumerate(lengths):

@@ -1,0 +1,101 @@
+"""Regression tests for code-review findings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sept_tpu.models import CloakedModel, Conv2dBiRNN, build_backbone
+from sept_tpu.train import ExperimentConfig, make_cloak_optimizer, make_cloak_step
+from sept_tpu.train.steps import TrainState
+
+T, D = 40, 32
+KEY = jax.random.PRNGKey(8)
+
+
+def test_suppression_freezes_rhos_but_not_locs():
+    """Reference: suppression runs freeze rhos, train only locs
+    (training_cloak.py:367)."""
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2)
+    backbone = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    model = CloakedModel(backbone=backbone, win_len=T, n_feats=D)
+    x = jax.random.normal(KEY, (8, T, D, 1))
+    v = jax.jit(model.init)({"params": KEY, "noise": KEY}, x)
+    tx = make_cloak_optimizer(cfg, 10, v["params"], ("noise",), freeze_rhos=True)
+    state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                       opt_state=tx.init(v["params"]), rng=KEY,
+                       step=jnp.zeros((), jnp.int32))
+    step = make_cloak_step(model, tx, scale_lambda=0.0, apply_scale_reg=False)
+    batch = {
+        "spec": x, "labels_emo": jnp.zeros(8, jnp.int32),
+        "labels_gen": jnp.zeros(8, jnp.int32), "global": jnp.zeros((8, 88)),
+        "weight": jnp.ones(8),
+    }
+    mask = jnp.ones((T, D))
+    s1, _ = step(state, batch, mask)
+    assert float(jnp.max(jnp.abs(
+        s1.params["noise"]["rhos"] - state.params["noise"]["rhos"]))) == 0.0
+    assert float(jnp.max(jnp.abs(
+        s1.params["noise"]["locs"] - state.params["noise"]["locs"]))) > 0.0
+
+
+def test_build_backbone_2d_cnn_with_cli_kwargs():
+    """The CLI always passes attention_size; 2d-cnn must not crash."""
+    m = build_backbone("2d-cnn", hidden_size=64, pred="emotion", att=None,
+                       attention_size=128)
+    x = jax.random.normal(KEY, (2, T, D, 1))
+    v = jax.jit(m.init)({"params": KEY}, x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 4)
+
+
+def test_min_scale_plumbed_through_cloak():
+    from sept_tpu.train.steps import cloak_scales
+
+    backbone = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    model = CloakedModel(backbone=backbone, win_len=T, n_feats=D,
+                         min_scale=0.5, max_scale=2.0)
+    x = jnp.zeros((1, T, D, 1))
+    v = jax.jit(model.init)({"params": KEY, "noise": KEY}, x)
+    scales = np.asarray(cloak_scales(model, v["params"]))
+    expect = (1 + np.tanh(-2.0)) / 2 * (2.0 - 0.5) + 0.5
+    np.testing.assert_allclose(scales, expect, rtol=1e-3)
+    assert scales.min() >= 0.5
+
+
+def test_short_test_utterance_pad_rows_are_normalized():
+    """Reference pads test windows BEFORE normalization, so pad rows become
+    (0 - mean)/std, not raw zeros (preprocess_adversary_data.py:29-34,373-385)."""
+    from sept_tpu.data import FoldPlan, assemble_fold, make_corpus
+
+    corpus = make_corpus(n_speakers=6, utts_per_speaker=3, seed=8)
+    rng = np.random.default_rng(0)
+    # short utterances for the test speaker, with non-zero mean features
+    store = {
+        u.utt_id: {"mel1": (rng.standard_normal((16, 30)) + 5.0).astype(np.float32)}
+        for u in corpus.manifest
+    }
+    spk = sorted({u.speaker_id for u in corpus.manifest})
+    plan = FoldPlan(1, tuple(spk[:2]), (spk[2],), (spk[3],), (spk[4],), (spk[5],))
+    fold = assemble_fold(corpus.manifest, store, plan, dataset="synthetic",
+                         feature_len=16, win_len=60, norm="znorm", aug=None)
+    # test utterances have 30 < win_len frames; rows 30.. must be normalized
+    # zeros = (0 - mean)/(std + 1e-5), strongly negative for mean≈5 features
+    assert fold.test.windows.shape[1] == 60
+    pad_region = fold.test.windows[0, 30:]
+    assert np.all(pad_region < -1.0), pad_region.mean()
+
+
+def test_manifest_saved_per_fold(tmp_path):
+    from sept_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path))
+    params = {"w": jnp.ones(3)}
+    ckpt.save("baseline_emotion", 1, params, manifest={"fold": 1})
+    ckpt.save("baseline_emotion", 2, params, manifest={"fold": 2})
+    import json, os
+
+    base = os.path.join(str(tmp_path), "baseline_emotion")
+    m1 = json.load(open(os.path.join(base, "manifest_fold1.json")))
+    m2 = json.load(open(os.path.join(base, "manifest_fold2.json")))
+    assert m1["fold"] == 1 and m2["fold"] == 2

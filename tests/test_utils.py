@@ -69,6 +69,6 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(restored["batch_stats"]["bn"]["mean"]), np.full(2, 0.5)
     )
     manifest = json.load(
-        open(os.path.join(str(tmp_path), "baseline_emotion", "manifest.json"))
+        open(os.path.join(str(tmp_path), "baseline_emotion", "manifest_fold1.json"))
     )
     assert manifest["acc"] == 0.9
