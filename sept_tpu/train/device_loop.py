@@ -18,6 +18,7 @@ same numpy permutation stream).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -32,10 +33,9 @@ from sept_tpu.train.optim import PlateauScheduler, set_lr_scale
 from sept_tpu.train.steps import (
     make_cloak_epoch_runner,
     make_epoch_runner,
-    weighted_ce,
 )
 
-__all__ = ["DeviceSplit", "fit_device", "fit_device_cloak"]
+__all__ = ["DeviceSplit", "make_val_pass", "fit_device", "fit_device_cloak"]
 
 
 class DeviceSplit:
@@ -76,6 +76,39 @@ def _masked_uar(truth: np.ndarray, preds: np.ndarray, valid: np.ndarray):
     return M.accuracy(t, p), M.uar(t, p)
 
 
+def make_val_pass(apply_logits):
+    """Scanned whole-split validation pass: one device program, but peak
+    activation memory bounded by batch_size (the split is processed
+    batch-by-batch inside a lax.scan, like the train path — a single
+    whole-split forward would exhaust HBM at corpus scale).
+
+    ``apply_logits(params, batch_stats, windows_batch (B, T, D)) -> logits``.
+    Returns ``val(params, batch_stats, windows (M,T,D), labels (M,),
+    weights (M,), n_batches, batch_size) -> (weighted-CE loss, preds (M,))``
+    with the same global weighted mean as a single-pass weighted_ce
+    (numerator/denominator summed across batches before dividing).
+    """
+
+    @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
+    def val(params, batch_stats, windows, labels, weights, *, n_batches,
+            batch_size):
+        def body(_, i):
+            lo = i * batch_size
+            x = jax.lax.dynamic_slice_in_dim(windows, lo, batch_size)
+            lab = jax.lax.dynamic_slice_in_dim(labels, lo, batch_size)
+            w = jax.lax.dynamic_slice_in_dim(weights, lo, batch_size)
+            logits = apply_logits(params, batch_stats, x)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
+            return None, (jnp.sum(nll * w), jnp.sum(w), jnp.argmax(logits, -1))
+
+        _, (nums, dens, preds) = jax.lax.scan(body, None, jnp.arange(n_batches))
+        loss = jnp.sum(nums) / jnp.maximum(jnp.sum(dens), 1e-8)
+        return loss, preds.reshape(-1)
+
+    return val
+
+
 def fit_device(
     state,
     model,
@@ -103,15 +136,11 @@ def fit_device(
     val_ds = DeviceSplit(val_split, label_key, cfg.batch_size)
 
     run_epoch = make_epoch_runner(model, tx)
-
-    @jax.jit
-    def val_pass(params, batch_stats, windows, labels, weights):
-        logits = model.apply(
-            {"params": params, "batch_stats": batch_stats}, windows[..., None]
+    val_pass = make_val_pass(
+        lambda p, bs, x: model.apply(
+            {"params": p, "batch_stats": bs}, x[..., None]
         )
-        loss = weighted_ce(logits, labels, weights)
-        preds = jnp.argmax(logits, -1)
-        return loss, preds
+    )
 
     rng = np.random.default_rng(cfg.seed)
     early = EarlyStopping(patience=cfg.early_stop_patience)
@@ -134,7 +163,8 @@ def fit_device(
 
         val_loss, val_preds = val_pass(
             state.params, state.batch_stats, val_ds.windows, val_ds.labels,
-            val_ds.weights,
+            val_ds.weights, n_batches=val_ds.n_batches,
+            batch_size=val_ds.batch_size,
         )
         val_loss = float(val_loss)
         valid = np.asarray(val_ds.weights) > 0
@@ -216,10 +246,9 @@ def fit_device_cloak(
         pooling=None if "deep" in cfg.model_type else "mean",
     )
 
-    @jax.jit
-    def val_pass(params, batch_stats, windows, labels, weights):
-        logits = eval_logits_fn(params, batch_stats, windows[..., None], None)
-        return weighted_ce(logits, labels, weights), jnp.argmax(logits, -1)
+    val_pass = make_val_pass(
+        lambda p, bs, x: eval_logits_fn(p, bs, x[..., None], None)
+    )
 
     rng = np.random.default_rng(cfg.seed)
     early = EarlyStopping(patience=cfg.early_stop_patience)
@@ -243,7 +272,8 @@ def fit_device_cloak(
 
         val_loss, val_preds = val_pass(
             state.params, state.batch_stats, val_ds.windows,
-            val_ds.labels_emo, val_ds.weights,
+            val_ds.labels_emo, val_ds.weights, n_batches=val_ds.n_batches,
+            batch_size=val_ds.batch_size,
         )
         val_loss = float(val_loss)
         valid = np.asarray(val_ds.weights) > 0

@@ -174,23 +174,30 @@ def run_eval_epoch(
 
 
 # one compiled vote program per (logits_fn, window geometry): params are jit
-# ARGUMENTS, so the same executable serves every epoch of a fold
+# ARGUMENTS, so the same executable serves every epoch of a fold.  Each cache
+# entry stores logits_fn itself alongside the vote program: while the entry
+# lives, CPython cannot recycle id(logits_fn) for a new function, so a later
+# fold can never be handed a vote program compiled around a previous fold's
+# garbage-collected closure (id-reuse hazard).  Entries are evicted FIFO at
+# 64, releasing the pinned fn.
 _VOTE_CACHE: dict = {}
 
 
 def _cached_vote(logits_fn, win_len: int, shift_len: int):
     key = (id(logits_fn), win_len, shift_len)
-    if key not in _VOTE_CACHE:
+    entry = _VOTE_CACHE.get(key)
+    if entry is None or entry[0] is not logits_fn:
 
         def param_logits(params, batch_stats, wins, g):
             out = logits_fn(params, batch_stats, wins, g)
             # multitask models return (emotion, gender); metrics track emotion
             return out[0] if isinstance(out, tuple) else out
 
-        _VOTE_CACHE[key] = make_sliding_vote_fn(param_logits, win_len, shift_len)
+        entry = (logits_fn, make_sliding_vote_fn(param_logits, win_len, shift_len))
+        _VOTE_CACHE[key] = entry
         if len(_VOTE_CACHE) > 64:
             _VOTE_CACHE.pop(next(iter(_VOTE_CACHE)))
-    return _VOTE_CACHE[key]
+    return entry[1]
 
 
 def run_test(

@@ -86,6 +86,79 @@ def test_short_test_utterance_pad_rows_are_normalized():
     assert np.all(pad_region < -1.0), pad_region.mean()
 
 
+def test_vote_cache_pins_logits_fn_against_id_reuse():
+    """The vote cache is keyed on id(logits_fn); the entry must hold a strong
+    reference to logits_fn so CPython cannot recycle the id for a new
+    function while the compiled program is cached (round-1 review finding)."""
+    import gc
+    import weakref
+
+    from sept_tpu.train import loop as L
+
+    def make_fn():
+        def logits_fn(params, batch_stats, wins, g):
+            return jnp.zeros((wins.shape[0], 4))
+
+        return logits_fn
+
+    fn = make_fn()
+    vote = L._cached_vote(fn, 20, 5)
+    ref = weakref.ref(fn)
+    key = (id(fn), 20, 5)
+    del fn
+    gc.collect()
+    # still alive: pinned by the cache entry, so the id cannot be reused
+    assert ref() is not None
+    assert L._VOTE_CACHE[key][0] is ref()
+    # same fn + geometry returns the same compiled program
+    assert L._cached_vote(ref(), 20, 5) is vote
+    # a DIFFERENT fn landing on the same key (simulated id collision) must
+    # not be handed the stale program
+    other = make_fn()
+    entry = L._VOTE_CACHE.pop(key)
+    L._VOTE_CACHE[(id(other), 20, 5)] = entry  # poison: stale fn under other's id
+    assert L._cached_vote(other, 20, 5) is not vote
+    L._VOTE_CACHE.clear()
+
+
+def test_scanned_val_pass_matches_single_forward():
+    """make_val_pass (batched, memory-bounded) must reproduce the global
+    weighted-CE loss and predictions of one whole-split forward."""
+    from sept_tpu.data.pipeline import SplitArrays
+    from sept_tpu.train.device_loop import DeviceSplit, make_val_pass
+    from sept_tpu.train.steps import weighted_ce
+
+    model = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    n, bsz = 21, 8  # pads to 24 = 3 batches
+    rng = np.random.default_rng(0)
+    windows = rng.standard_normal((n, T, D)).astype(np.float32)
+    labels = (np.arange(n) % 4).astype(np.int32)
+    split = SplitArrays(
+        windows=windows, labels_emo=labels,
+        labels_gen=(np.arange(n) % 2).astype(np.int32),
+        lengths=np.full(n, T, np.int32),
+        global_data=np.zeros((n, 88), np.float32),
+        speaker_ids=np.array(["s"] * n), datasets=np.array(["synthetic"] * n),
+        utt_ids=np.array([f"u{i}" for i in range(n)]),
+    )
+    ds = DeviceSplit(split, "labels_emo", bsz)
+    v = jax.jit(model.init)({"params": KEY}, jnp.asarray(windows[:2])[..., None])
+
+    def apply_logits(p, bs, x):
+        return model.apply({"params": p, "batch_stats": bs}, x[..., None])
+
+    val = make_val_pass(apply_logits)
+    loss_b, preds_b = val(v["params"], v["batch_stats"], ds.windows, ds.labels,
+                          ds.weights, n_batches=ds.n_batches,
+                          batch_size=ds.batch_size)
+    logits = apply_logits(v["params"], v["batch_stats"], ds.windows)
+    loss_1 = weighted_ce(logits, ds.labels, ds.weights)
+    assert float(loss_b) == pytest.approx(float(loss_1), rel=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(preds_b), np.asarray(jnp.argmax(logits, -1))
+    )
+
+
 def test_manifest_saved_per_fold(tmp_path):
     from sept_tpu.train.checkpoint import CheckpointManager
 
