@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sept_tpu.ops import frontend as F
+from sept_tpu.ops.functionals import pow2_rows
 
 __all__ = ["featurize_corpus", "feature_frames"]
 
@@ -87,12 +88,16 @@ def _bucket_featurizer(bucket_len: int, feature_type: str, feature_len: int):
 
 
 def _buckets(lengths: list[int], quantum: int = 8000) -> dict[int, list[int]]:
-    """Group utterance indices into padded-length buckets."""
-    out: dict[int, list[int]] = {}
-    for i, n in enumerate(lengths):
-        b = ((n + quantum - 1) // quantum) * quantum
-        out.setdefault(b, []).append(i)
-    return out
+    """Group utterance indices into padded-length buckets.
+
+    Geometric (quantum * 2^k) buckets: compiles over a tunneled chip cost
+    tens of seconds each, so the number of distinct jit shapes is bounded at
+    log2(max_len/quantum) and the extra padded GEMM work is absorbed by the
+    MXU (outputs are trimmed to each utterance's true frame count anyway).
+    """
+    from sept_tpu.ops.functionals import bucket_indices
+
+    return bucket_indices(lengths, quantum, geometric=True)
 
 
 def featurize_corpus(
@@ -100,6 +105,7 @@ def featurize_corpus(
     feature_type: str = "mel_spec",
     feature_len: int = 128,
     include_gemaps: bool = True,
+    include_emobase: bool | None = None,
     quantum: int = 8000,
     batch_size: int = 64,
 ) -> dict[str, dict[str, np.ndarray]]:
@@ -107,7 +113,13 @@ def featurize_corpus(
 
     mel_spec path emits {'mel1': (feature_len, T), 'mel2': ...}; mfcc path
     emits {'mfcc': (120, T)}.  T = 1 + len//hop per utterance (trimmed).
+    Functional descriptors follow the reference store schema
+    (audio_feature_extraction.py:188-189): 88-dim ``gemaps`` and 988-dim
+    ``emobase`` per utterance (emobase defaults to tracking
+    ``include_gemaps``, matching the reference extracting both together).
     """
+    if include_emobase is None:
+        include_emobase = include_gemaps
     utt_ids = list(waveforms)
     lengths = [len(waveforms[u]) for u in utt_ids]
     store: dict[str, dict[str, np.ndarray]] = {u: {} for u in utt_ids}
@@ -116,11 +128,14 @@ def featurize_corpus(
         fn = _bucket_featurizer(bucket_len, feature_type, feature_len)
         for lo in range(0, len(idxs), batch_size):
             chunk = idxs[lo : lo + batch_size]
+            # pow2 row padding: chunk shapes come from a small closed set so
+            # partial chunks never compile fresh executables
+            rows = pow2_rows(len(chunk), batch_size)
             if feature_type == "mel_spec":
                 # host reflect-pad at the true boundary for each n_fft, then
                 # zero-pad to the shared bucket length
-                w800 = np.zeros((len(chunk), bucket_len + 800), dtype=np.float32)
-                w1600 = np.zeros((len(chunk), bucket_len + 1600), dtype=np.float32)
+                w800 = np.zeros((rows, bucket_len + 800), dtype=np.float32)
+                w1600 = np.zeros((rows, bucket_len + 1600), dtype=np.float32)
                 for row, i in enumerate(chunk):
                     w = waveforms[utt_ids[i]]
                     w800[row, : len(w) + 800] = _reflect_pad(w, 400)
@@ -132,7 +147,7 @@ def featurize_corpus(
                     store[utt_ids[i]]["mel1"] = m1[row, :, :t]
                     store[utt_ids[i]]["mel2"] = m2[row, :, :t]
             else:
-                w = np.zeros((len(chunk), bucket_len + 400), dtype=np.float32)
+                w = np.zeros((rows, bucket_len + 400), dtype=np.float32)
                 d1 = np.zeros_like(w)
                 d2 = np.zeros_like(w)
                 for row, i in enumerate(chunk):
@@ -154,4 +169,10 @@ def featurize_corpus(
         gemaps = egemaps_functionals_batch(waveforms)
         for u in utt_ids:
             store[u]["gemaps"] = gemaps[u]
+    if include_emobase:
+        from sept_tpu.ops.emobase import emobase_functionals_batch
+
+        emobase = emobase_functionals_batch(waveforms)
+        for u in utt_ids:
+            store[u]["emobase"] = emobase[u]
     return store

@@ -14,7 +14,16 @@ from sept_tpu.ops.frontend import (
     np_gradient,
     stft_power,
 )
-from sept_tpu.ops.egemaps import N_GEMAPS, egemaps_functionals
+from sept_tpu.ops.egemaps import (
+    N_GEMAPS,
+    egemaps_functionals,
+    egemaps_functionals_batch,
+)
+from sept_tpu.ops.emobase import (
+    N_EMOBASE,
+    emobase_functionals,
+    emobase_functionals_batch,
+)
 from sept_tpu.ops.grl import gradient_reversal
 from sept_tpu.ops.pallas_frontend import pallas_mel_spectrogram, pallas_mfcc
 
@@ -23,7 +32,11 @@ __all__ = [
     "create_dct",
     "frame_signal",
     "N_GEMAPS",
+    "N_EMOBASE",
     "egemaps_functionals",
+    "egemaps_functionals_batch",
+    "emobase_functionals",
+    "emobase_functionals_batch",
     "gradient_reversal",
     "pallas_mel_spectrogram",
     "pallas_mfcc",

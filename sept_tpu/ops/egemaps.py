@@ -9,10 +9,13 @@ descriptor that is z-normed per speaker* (preprocess_adversary_data.py:366-390)
 and concatenated to the pooled RNN state when ``global_feature=1``
 (baseline_models.py:208,244-245).
 
-This module computes an eGeMAPS-inspired 88-dim vector from TPU-computed
-low-level descriptors (LLDs): the heavy per-frame spectral work (STFT, mel,
-band energies) runs as the same MXU GEMM chain as the main frontend; the
-order-statistics functionals run on host over the trimmed LLD tracks.
+This module computes an eGeMAPS-inspired 88-dim vector entirely on device:
+the per-frame spectral work (STFT, mel, band energies, autocorrelation pitch)
+runs as the same MXU GEMM chain as the main frontend, and the functional
+reduction is a masked, vectorized jnp program (sept_tpu.ops.functionals) —
+whole utterance buckets featurize in ONE vmapped, jitted call, with no
+per-utterance host loops (the round-1 host-bound numpy reduction survives
+only as the parity oracle, ``functionals_reference``).
 
 Feature catalog (documented so downstream users can interpret dimensions):
 
@@ -48,8 +51,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from sept_tpu.ops import frontend as F
+from sept_tpu.ops import functionals as FN
 
-__all__ = ["N_GEMAPS", "egemaps_functionals", "egemaps_functionals_batch"]
+__all__ = [
+    "N_GEMAPS",
+    "egemaps_functionals",
+    "egemaps_functionals_batch",
+    "functionals_reference",
+]
 
 N_GEMAPS = 88
 _SR = 16000
@@ -77,13 +86,12 @@ def _band_matrix() -> np.ndarray:
     return bands
 
 
-@functools.lru_cache(maxsize=None)
-def _lld_fn(padded_len: int):
-    """Jitted LLD extractor for one padded waveform length.
+def _lld(wave):
+    """Per-frame LLD tracks (n_frames, 37) for one padded waveform.
 
-    Returns per-frame tracks: (n_frames, n_lld).
+    Traceable (constants are numpy, folded at compile time); used under
+    jit+vmap by the batch path and jitted alone by the oracle path.
     """
-
     f = jnp.asarray(_freqs().astype(np.float32))
     bands = jnp.asarray(_band_matrix())
     mel_fb = jnp.asarray(F.melscale_fbanks(_NFREQ, 0.0, 8000.0, 26, _SR))
@@ -91,7 +99,7 @@ def _lld_fn(padded_len: int):
 
     lo500 = jnp.asarray((_freqs() < 500).astype(np.float32))
     f500_1500 = jnp.asarray(
-        (( _freqs() >= 500) & (_freqs() < 1500)).astype(np.float32)
+        ((_freqs() >= 500) & (_freqs() < 1500)).astype(np.float32)
     )
     alpha_lo = jnp.asarray(((_freqs() >= 50) & (_freqs() < 1000)).astype(np.float32))
     alpha_hi = jnp.asarray(((_freqs() >= 1000) & (_freqs() < 5000)).astype(np.float32))
@@ -103,101 +111,255 @@ def _lld_fn(padded_len: int):
         jnp.asarray(((_freqs() >= 2500) & (_freqs() < 3500)).astype(np.float32)),
     ]
 
-    def lld(wave):
-        frames = F.frame_signal(wave, _NFFT, _HOP, center=False)
-        win = jnp.asarray(F.hann_window(_NFFT))
-        framed = frames * win[None, :]
-        cos_m, sin_m = F._rdft_matrices(_NFFT)
-        re = jnp.dot(framed, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
-        im = jnp.dot(framed, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
-        spec = re * re + im * im  # (T, n_freq)
-        eps = 1e-10
+    frames = F.frame_signal(wave, _NFFT, _HOP, center=False)
+    win = jnp.asarray(F.hann_window(_NFFT))
+    framed = frames * win[None, :]
+    cos_m, sin_m = F._rdft_matrices(_NFFT)
+    re = jnp.dot(framed, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
+    im = jnp.dot(framed, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
+    spec = re * re + im * im  # (T, n_freq)
+    eps = 1e-10
 
-        energy = jnp.sum(spec, axis=1)
-        loud = 10.0 * jnp.log10(energy + eps)
+    energy = jnp.sum(spec, axis=1)
+    loud = 10.0 * jnp.log10(energy + eps)
 
-        total = energy + eps
-        centroid = jnp.sum(spec * f[None, :], axis=1) / total
-        spread = jnp.sqrt(
-            jnp.sum(spec * (f[None, :] - centroid[:, None]) ** 2, axis=1) / total
-        )
-        cum = jnp.cumsum(spec, axis=1)
-        rolloff_idx = jnp.argmax(cum >= 0.85 * total[:, None], axis=1)
-        rolloff = f[rolloff_idx]
-        p = spec / total[:, None]
-        entropy = -jnp.sum(p * jnp.log(p + eps), axis=1)
-        flux = jnp.concatenate(
-            [jnp.zeros((1,)), jnp.sqrt(jnp.sum(jnp.diff(spec, axis=0) ** 2, axis=1))]
-        )
+    total = energy + eps
+    centroid = jnp.sum(spec * f[None, :], axis=1) / total
+    spread = jnp.sqrt(
+        jnp.sum(spec * (f[None, :] - centroid[:, None]) ** 2, axis=1) / total
+    )
+    cum = jnp.cumsum(spec, axis=1)
+    rolloff_idx = jnp.argmax(cum >= 0.85 * total[:, None], axis=1)
+    rolloff = f[rolloff_idx]
+    p = spec / total[:, None]
+    entropy = -jnp.sum(p * jnp.log(p + eps), axis=1)
+    flux = jnp.concatenate(
+        [jnp.zeros((1,)), jnp.sqrt(jnp.sum(jnp.diff(spec, axis=0) ** 2, axis=1))]
+    )
 
-        # slopes: linear fit of dB spectrum against frequency within a band
-        db_spec = 10.0 * jnp.log10(spec + eps)
+    # slopes: linear fit of dB spectrum against frequency within a band
+    db_spec = 10.0 * jnp.log10(spec + eps)
 
-        def band_slope(mask):
-            n = jnp.sum(mask)
-            fx = f * mask
-            mx = jnp.sum(fx) / n
-            my = jnp.sum(db_spec * mask[None, :], axis=1) / n
-            cov = jnp.sum((fx - mx * mask)[None, :] * db_spec * mask[None, :], axis=1)
-            var = jnp.sum((fx - mx * mask) ** 2)
-            return cov / (var + eps) - my * 0.0  # slope dB/Hz
+    def band_slope(mask):
+        n = jnp.sum(mask)
+        fx = f * mask
+        mx = jnp.sum(fx) / n
+        my = jnp.sum(db_spec * mask[None, :], axis=1) / n
+        cov = jnp.sum((fx - mx * mask)[None, :] * db_spec * mask[None, :], axis=1)
+        var = jnp.sum((fx - mx * mask) ** 2)
+        return cov / (var + eps) - my * 0.0  # slope dB/Hz
 
-        slope0 = band_slope(lo500)
-        slope1 = band_slope(f500_1500)
+    slope0 = band_slope(lo500)
+    slope1 = band_slope(f500_1500)
 
-        alpha = 10.0 * jnp.log10(
-            (jnp.sum(spec * alpha_lo[None, :], axis=1) + eps)
-            / (jnp.sum(spec * alpha_hi[None, :], axis=1) + eps)
-        )
-        hamm = 10.0 * jnp.log10(
-            (jnp.max(spec * ham_lo[None, :], axis=1) + eps)
-            / (jnp.max(spec * ham_hi[None, :], axis=1) + eps)
-        )
+    alpha = 10.0 * jnp.log10(
+        (jnp.sum(spec * alpha_lo[None, :], axis=1) + eps)
+        / (jnp.sum(spec * alpha_hi[None, :], axis=1) + eps)
+    )
+    hamm = 10.0 * jnp.log10(
+        (jnp.max(spec * ham_lo[None, :], axis=1) + eps)
+        / (jnp.max(spec * ham_hi[None, :], axis=1) + eps)
+    )
 
-        mel = jnp.dot(spec, mel_fb, preferred_element_type=jnp.float32)
-        mel_db = 10.0 * jnp.log10(mel + eps)
-        mfcc = jnp.dot(mel_db, dct, preferred_element_type=jnp.float32)  # (T, 5)
-        band_e = 10.0 * jnp.log10(
-            jnp.dot(spec, bands, preferred_element_type=jnp.float32) + eps
-        )  # (T, 13)
+    mel = jnp.dot(spec, mel_fb, preferred_element_type=jnp.float32)
+    mel_db = 10.0 * jnp.log10(mel + eps)
+    mfcc = jnp.dot(mel_db, dct, preferred_element_type=jnp.float32)  # (T, 5)
+    band_e = 10.0 * jnp.log10(
+        jnp.dot(spec, bands, preferred_element_type=jnp.float32) + eps
+    )  # (T, 13)
 
-        # pitch via FFT-based frame autocorrelation (50..500 Hz lag search):
-        # ac[t] = irfft(|rfft(frame, 2N)|^2) — one transform, compile-friendly
-        ac_frames = frames - jnp.mean(frames, axis=1, keepdims=True)
-        min_lag, max_lag = _SR // 500, _SR // 50  # 32..320
-        spec_ac = jnp.fft.rfft(ac_frames, n=2 * _NFFT, axis=1)
-        ac_full = jnp.fft.irfft(spec_ac * jnp.conj(spec_ac), axis=1).real
-        acs = ac_full[:, min_lag:max_lag]  # (T, n_lags)
-        ac0 = ac_full[:, 0] + eps
-        lags = np.arange(min_lag, max_lag)
-        best = jnp.argmax(acs, axis=1)
-        best_val = jnp.max(acs, axis=1) / ac0
-        f0 = _SR / (jnp.asarray(lags.astype(np.float32))[best])
-        voiced = (best_val > 0.45).astype(jnp.float32)
-        f0_log = jnp.log2(jnp.maximum(f0, 1.0)) * 12.0  # semitone scale
-        hnr = 10.0 * jnp.log10(
-            jnp.clip(best_val, 1e-4, 0.9999) / (1.0 - jnp.clip(best_val, 1e-4, 0.9999))
-        )
+    f0_log, voiced, best_val = autocorr_pitch(frames)
+    hnr = 10.0 * jnp.log10(
+        jnp.clip(best_val, 1e-4, 0.9999) / (1.0 - jnp.clip(best_val, 1e-4, 0.9999))
+    )
 
-        formant_feats = []
-        for fb_mask in formant_bands:
-            be = jnp.sum(spec * fb_mask[None, :], axis=1)
-            fc = jnp.sum(spec * (f * fb_mask)[None, :], axis=1) / (be + eps)
-            formant_feats += [fc, 10.0 * jnp.log10(be / total + eps)]
+    formant_feats = []
+    for fb_mask in formant_bands:
+        be = jnp.sum(spec * fb_mask[None, :], axis=1)
+        fc = jnp.sum(spec * (f * fb_mask)[None, :], axis=1) / (be + eps)
+        formant_feats += [fc, 10.0 * jnp.log10(be / total + eps)]
 
-        tracks = jnp.stack(
-            [
-                f0_log, voiced, best_val, loud, hnr, alpha, hamm,
-                slope0, slope1, centroid, spread, flux, rolloff, entropy,
-            ]
-            + [mfcc[:, i] for i in range(1, 5)]
-            + [band_e[:, i] for i in range(13)]
-            + formant_feats,
-            axis=1,
-        )
-        return tracks
+    tracks = jnp.stack(
+        [
+            f0_log, voiced, best_val, loud, hnr, alpha, hamm,
+            slope0, slope1, centroid, spread, flux, rolloff, entropy,
+        ]
+        + [mfcc[:, i] for i in range(1, 5)]
+        + [band_e[:, i] for i in range(13)]
+        + formant_feats,
+        axis=1,
+    )
+    return tracks
 
-    return jax.jit(lld)
+
+def autocorr_pitch(frames, n_fft: int = _NFFT, sr: int = _SR,
+                   voiced_thresh: float = 0.45):
+    """FFT-based frame autocorrelation pitch (50..500 Hz lag search).
+
+    ac[t] = irfft(|rfft(frame, 2N)|^2) — one transform, compile-friendly.
+    Returns (f0 in log2-semitones, voiced flag, autocorr peak ratio); shared
+    by the eGeMAPS and emobase LLD extractors.
+    """
+    eps = 1e-10
+    ac_frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+    min_lag, max_lag = sr // 500, sr // 50  # 32..320
+    spec_ac = jnp.fft.rfft(ac_frames, n=2 * n_fft, axis=1)
+    ac_full = jnp.fft.irfft(spec_ac * jnp.conj(spec_ac), axis=1).real
+    acs = ac_full[:, min_lag:max_lag]  # (T, n_lags)
+    ac0 = ac_full[:, 0] + eps
+    lags = np.arange(min_lag, max_lag)
+    best = jnp.argmax(acs, axis=1)
+    best_val = jnp.max(acs, axis=1) / ac0
+    f0 = sr / (jnp.asarray(lags.astype(np.float32))[best])
+    voiced = (best_val > voiced_thresh).astype(jnp.float32)
+    f0_log = jnp.log2(jnp.maximum(f0, 1.0)) * 12.0  # semitone scale
+    return f0_log, voiced, best_val
+
+
+_lld_jit = jax.jit(_lld)
+
+
+# ---------------------------------------------------------------------------
+# Device-side functional reduction (masked, vectorized — the production path)
+# ---------------------------------------------------------------------------
+
+
+def _reduce(tracks, t, n_samples):
+    """(t_pad, 37) padded LLD tracks + valid frame count -> (88,) vector.
+
+    Reproduces ``functionals_reference`` (the numpy oracle) with masked
+    reductions: percentiles interpolate like np.percentile, rise/fall and
+    jitter diffs run over the voiced-COMPACTED subsequence exactly as a
+    boolean-index gather would, run statistics use the closed form
+    total/num_runs.
+    """
+    eps = 1e-10
+    t_pad = tracks.shape[0]
+    t = jnp.asarray(t, jnp.int32)
+    m = FN.frame_mask(t_pad, t)
+    (f0, voiced, vprob, loud, hnr, alpha, hamm, s0, s1, cent, spread, flux,
+     roll, ent) = (tracks[:, i] for i in range(14))
+    mfccs = tracks[:, 14:18]
+    bands = tracks[:, 18:31]
+    formants = tracks[:, 31:37]
+
+    vsel = (voiced > 0.5) & m
+    tv = jnp.sum(vsel)
+    has_v = tv > 0
+    fsel = jnp.where(has_v, vsel, m)  # fallback: all valid frames
+    tf = jnp.where(has_v, tv, t)
+
+    def stats5(x, sel, n):
+        s = FN.masked_sort(x, sel)
+        return [
+            FN.masked_mean(x, sel), FN.masked_std(x, sel),
+            FN.percentile_sorted(s, n, 20.0), FN.percentile_sorted(s, n, 50.0),
+            FN.percentile_sorted(s, n, 80.0),
+        ]
+
+    out = []
+    # F0 (8): stats over voiced frames, diffs over the compacted sequence
+    st = stats5(f0, fsel, tf)
+    f0c = f0[FN.compact_order(fsel, t_pad)]
+    rise, fall, jit_mu, jit_sd = FN.diff_stats(f0c, tf)
+    out += st + [st[4] - st[2], rise, fall]
+    # voicing prob (2)
+    out += [FN.masked_mean(vprob, m), FN.masked_std(vprob, m)]
+    # jitter proxy (2)
+    out += [jit_mu, jit_sd]
+    # loudness (9)
+    st = stats5(loud, m, t)
+    l_rise, l_fall, sh_mu, sh_sd = FN.diff_stats(loud, t)
+    c = (loud[1:-1] > loud[:-2]) & (loud[1:-1] > loud[2:])
+    peaks = jnp.sum(c & (jnp.arange(t_pad - 2) < t - 2))
+    dur_s = n_samples.astype(jnp.float32) / _SR
+    out += st + [st[4] - st[2], l_rise, l_fall,
+                 peaks.astype(jnp.float32) / jnp.maximum(dur_s, eps)]
+    # shimmer proxy (2)
+    out += [sh_mu, sh_sd]
+    # HNR (2), alpha (2), hammarberg (2), slopes (4),
+    # centroid/spread/flux/rolloff (8) — one stacked masked reduction
+    pair_tracks = jnp.stack([hnr, alpha, hamm, s0, s1, cent, spread, flux, roll])
+    mus = FN.masked_mean(pair_tracks, m)
+    sds = FN.masked_std(pair_tracks, m)
+    for i in range(9):
+        out += [mus[i], sds[i]]
+    # mfcc1..4 (8) + 13 band energies (26)
+    mb = jnp.concatenate([mfccs, bands], axis=1).T  # (17, T)
+    mus = FN.masked_mean(mb, m)
+    sds = FN.masked_std(mb, m)
+    for i in range(17):
+        out += [mus[i], sds[i]]
+    # formant proxies (6): means only
+    fmu = FN.masked_mean(formants.T, m)
+    out += [fmu[i] for i in range(6)]
+    # voiced/unvoiced segment stats (3)
+    v_len, _ = FN.run_stats(voiced > 0.5, m)
+    u_len, _ = FN.run_stats(voiced <= 0.5, m)
+    out += [v_len, u_len, tv.astype(jnp.float32) / jnp.maximum(t, 1)]
+    # durations (2)
+    out += [jnp.log(dur_s + eps), jnp.log(t.astype(jnp.float32) + 1.0)]
+    # entropy (2)
+    out += [FN.masked_mean(ent, m), FN.masked_std(ent, m)]
+
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in out])
+
+
+def _gemaps_single(wave, t, n_samples):
+    return _reduce(_lld(wave), t, n_samples)
+
+
+_gemaps_batch = jax.jit(jax.vmap(_gemaps_single))
+
+
+def _n_frames(n_samples: int) -> int:
+    return max(1, 1 + (n_samples - _NFFT) // _HOP)
+
+
+def egemaps_functionals_batch(
+    waveforms: dict[str, np.ndarray],
+    quantum: int = 8000,
+    batch_size: int = 64,
+) -> dict[str, np.ndarray]:
+    """Featurize a whole corpus of waveforms on device, bucketed by length.
+
+    One jit cache entry per (bucket length, chunk size); the functional
+    reduction never returns per-frame data to host — only the (B, 88)
+    vectors come back.
+    """
+    utt_ids = list(waveforms)
+    lengths = [len(waveforms[u]) for u in utt_ids]
+    out: dict[str, np.ndarray] = {}
+    for bucket_len, idxs in sorted(FN.bucket_indices(lengths, quantum).items()):
+        for lo in range(0, len(idxs), batch_size):
+            chunk = idxs[lo : lo + batch_size]
+            # pow2 row padding: chunk shapes come from a small closed set so
+            # partial chunks never compile fresh executables
+            b = FN.pow2_rows(len(chunk), batch_size)
+            W = np.zeros((b, bucket_len), np.float32)
+            ts = np.ones(b, np.int32)
+            ns = np.ones(b, np.int32)
+            for row, i in enumerate(chunk):
+                w = waveforms[utt_ids[i]]
+                W[row, : len(w)] = w
+                ts[row] = _n_frames(len(w))
+                ns[row] = len(w)
+            vecs = np.asarray(
+                _gemaps_batch(jnp.asarray(W), jnp.asarray(ts), jnp.asarray(ns))
+            )
+            for row, i in enumerate(chunk):
+                out[utt_ids[i]] = vecs[row]
+    return out
+
+
+def egemaps_functionals(wave: np.ndarray) -> np.ndarray:
+    """(n_samples,) float32 waveform -> (88,) functionals vector."""
+    return egemaps_functionals_batch({"_": np.asarray(wave, np.float32)})["_"]
+
+
+# ---------------------------------------------------------------------------
+# Numpy reference reduction (parity oracle for tests; not used in production)
+# ---------------------------------------------------------------------------
 
 
 def _runs(mask: np.ndarray) -> list[int]:
@@ -213,8 +375,13 @@ def _runs(mask: np.ndarray) -> list[int]:
     return runs
 
 
-def _functionals(tracks: np.ndarray, n_samples: int) -> np.ndarray:
-    """Reduce (T, n_lld) tracks to the 88-dim catalog vector."""
+def functionals_reference(tracks: np.ndarray, n_samples: int) -> np.ndarray:
+    """Host-side reduction of (T, n_lld) tracks to the 88-dim catalog vector.
+
+    The round-1 per-utterance numpy implementation, kept verbatim as the
+    oracle that the masked device reduction (:func:`_reduce`) is tested
+    against (tests/test_store_combine.py).
+    """
     eps = 1e-10
     (f0, voiced, vprob, loud, hnr, alpha, hamm, s0, s1, cent, spread, flux,
      roll, ent) = (tracks[:, i] for i in range(14))
@@ -289,17 +456,10 @@ def _functionals(tracks: np.ndarray, n_samples: int) -> np.ndarray:
     return np.asarray(out, dtype=np.float32)
 
 
-def egemaps_functionals(wave: np.ndarray) -> np.ndarray:
-    """(n_samples,) float32 waveform -> (88,) functionals vector."""
+def egemaps_functionals_reference(wave: np.ndarray) -> np.ndarray:
+    """Oracle path: jitted LLDs, numpy reduction (round-1 semantics)."""
     pad = ((len(wave) + 7999) // 8000) * 8000
     padded = np.zeros(pad, dtype=np.float32)
     padded[: len(wave)] = wave
-    t = max(1, 1 + (len(wave) - _NFFT) // _HOP)
-    tracks = np.asarray(_lld_fn(pad)(jnp.asarray(padded)))[:t]
-    return _functionals(tracks, len(wave))
-
-
-def egemaps_functionals_batch(
-    waveforms: dict[str, np.ndarray]
-) -> dict[str, np.ndarray]:
-    return {u: egemaps_functionals(w) for u, w in waveforms.items()}
+    tracks = np.asarray(_lld_jit(jnp.asarray(padded)))[: _n_frames(len(wave))]
+    return functionals_reference(tracks, len(wave))

@@ -1,0 +1,195 @@
+"""Functional-feature tests: masked device reducers vs numpy semantics,
+eGeMAPS device/oracle parity, emobase catalog shape + signal."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sept_tpu.ops import functionals as FN
+
+RNG = np.random.default_rng(8)
+
+
+def _masked_case(t_pad=37, t=29):
+    x = RNG.standard_normal((5, t_pad)).astype(np.float32)
+    m = np.arange(t_pad) < t
+    return jnp.asarray(x), jnp.asarray(m), t, x[:, :t]
+
+
+class TestMaskedStats:
+    def test_mean_std(self):
+        x, m, t, xv = _masked_case()
+        np.testing.assert_allclose(FN.masked_mean(x, m), xv.mean(1), rtol=1e-5)
+        np.testing.assert_allclose(FN.masked_std(x, m), xv.std(1), rtol=1e-4)
+
+    def test_percentiles_match_numpy(self):
+        x, m, t, xv = _masked_case()
+        s = FN.masked_sort(x, m)
+        for q in (20.0, 25.0, 50.0, 75.0, 80.0):
+            np.testing.assert_allclose(
+                FN.percentile_sorted(s, t, q),
+                np.percentile(xv, q, axis=1),
+                rtol=1e-4, atol=1e-6,
+            )
+
+    def test_percentile_single_frame(self):
+        x, m, _, _ = _masked_case(t_pad=8, t=1)
+        s = FN.masked_sort(x, m)
+        np.testing.assert_allclose(
+            FN.percentile_sorted(s, 1, 50.0), np.asarray(x)[:, 0], rtol=1e-6
+        )
+
+    def test_minmax_positions(self):
+        x, m, t, xv = _masked_case()
+        np.testing.assert_allclose(FN.masked_max(x, m), xv.max(1), rtol=1e-6)
+        np.testing.assert_allclose(FN.masked_min(x, m), xv.min(1), rtol=1e-6)
+        np.testing.assert_allclose(
+            FN.masked_argmax_rel(x, m, t), xv.argmax(1) / t, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            FN.masked_argmin_rel(x, m, t), xv.argmin(1) / t, rtol=1e-6
+        )
+
+    def test_moments_match_scipy_conventions(self):
+        x, m, t, xv = _masked_case()
+        mu, sd, skew, kurt = FN.masked_moments(x, m)
+        d = xv - xv.mean(1, keepdims=True)
+        np.testing.assert_allclose(
+            skew, (d**3).mean(1) / xv.std(1) ** 3, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            kurt, (d**4).mean(1) / xv.std(1) ** 4 - 3.0, rtol=1e-3
+        )
+
+    def test_linreg_matches_polyfit(self):
+        x, m, t, xv = _masked_case()
+        slope, offset, err_q = FN.masked_linreg(x, m, t)
+        for r in range(xv.shape[0]):
+            c1, c0 = np.polyfit(np.arange(t), xv[r], 1)
+            assert float(slope[r]) == pytest.approx(c1, rel=1e-3, abs=1e-5)
+            assert float(offset[r]) == pytest.approx(c0, rel=1e-3, abs=1e-5)
+            resid = xv[r] - (c1 * np.arange(t) + c0)
+            assert float(err_q[r]) == pytest.approx(
+                float((resid**2).mean()), rel=1e-3, abs=1e-6
+            )
+
+    def test_run_stats(self):
+        flag = np.array([1, 1, 0, 1, 0, 0, 1, 1, 1, 0, 1], bool)
+        m = np.ones_like(flag)
+        mean_len, n_runs = FN.run_stats(jnp.asarray(flag), jnp.asarray(m))
+        # runs: [2, 1, 3, 1] -> mean 7/4
+        assert int(n_runs) == 4
+        assert float(mean_len) == pytest.approx(7 / 4)
+        # valid-region clipping: last run falls outside the mask
+        m2 = np.arange(len(flag)) < 10
+        mean_len2, n_runs2 = FN.run_stats(jnp.asarray(flag), jnp.asarray(m2))
+        assert int(n_runs2) == 3
+        assert float(mean_len2) == pytest.approx(6 / 3)
+
+    def test_diff_stats_compacted(self):
+        x = np.array([1.0, 5.0, 2.0, 9.0, 0.0, 0.0], np.float32)
+        rise, fall, mu, sd = FN.diff_stats(jnp.asarray(x), 4)
+        d = np.diff(x[:4])  # [4, -3, 7]
+        assert float(rise) == pytest.approx(np.mean(d[d > 0]))
+        assert float(fall) == pytest.approx(np.mean(d[d < 0]))
+        assert float(mu) == pytest.approx(np.abs(d).mean())
+        assert float(sd) == pytest.approx(np.abs(d).std(), rel=1e-5)
+        # a single valid element has no diffs: all stats 0
+        rise1, fall1, mu1, sd1 = FN.diff_stats(jnp.asarray(x), 1)
+        assert (float(rise1), float(fall1), float(mu1), float(sd1)) == (0, 0, 0, 0)
+
+
+class TestEgemapsDeviceParity:
+    def test_device_reduction_matches_numpy_oracle(self):
+        from sept_tpu.data.synthetic import make_corpus
+        from sept_tpu.ops.egemaps import (
+            egemaps_functionals_batch,
+            egemaps_functionals_reference,
+        )
+
+        corpus = make_corpus(n_speakers=4, utts_per_speaker=2, seed=8)
+        waves = {u.utt_id: corpus.wave(u.utt_id) for u in corpus.manifest}
+        batch = egemaps_functionals_batch(waves)
+        for u, w in waves.items():
+            ref = egemaps_functionals_reference(w)
+            np.testing.assert_allclose(
+                batch[u], ref, rtol=2e-3, atol=2e-3,
+                err_msg=f"device/oracle mismatch for {u}",
+            )
+
+    def test_single_equals_batch(self):
+        from sept_tpu.data.synthetic import make_corpus
+        from sept_tpu.ops.egemaps import (
+            egemaps_functionals,
+            egemaps_functionals_batch,
+        )
+
+        corpus = make_corpus(n_speakers=2, utts_per_speaker=1, seed=3)
+        waves = {u.utt_id: corpus.wave(u.utt_id) for u in corpus.manifest}
+        batch = egemaps_functionals_batch(waves)
+        u = next(iter(waves))
+        np.testing.assert_array_equal(egemaps_functionals(waves[u]), batch[u])
+
+
+class TestEmobase:
+    def test_dimension_and_determinism(self):
+        from sept_tpu.data.synthetic import make_corpus
+        from sept_tpu.ops.emobase import N_EMOBASE, emobase_functionals
+
+        corpus = make_corpus(n_speakers=2, utts_per_speaker=1, seed=8)
+        u = corpus.manifest[0]
+        v1 = emobase_functionals(corpus.wave(u.utt_id))
+        v2 = emobase_functionals(corpus.wave(u.utt_id))
+        assert v1.shape == (N_EMOBASE,) == (988,)
+        np.testing.assert_array_equal(v1, v2)
+        assert np.all(np.isfinite(v1))
+
+    def test_functional_block_semantics(self):
+        """Spot-check the per-track functional layout against numpy on the
+        raw LLD tracks (max/min/mean/median at their documented offsets)."""
+        from sept_tpu.ops import emobase as E
+
+        rng = np.random.default_rng(0)
+        wave = rng.standard_normal(24000).astype(np.float32)
+        pad = np.zeros(32000, np.float32)
+        pad[: len(wave)] = wave
+        t = E._n_frames(len(wave))
+        tracks = np.asarray(E._lld(jnp.asarray(pad)))[:t]  # (t, 52)
+        vec = np.asarray(E._reduce(jnp.asarray(E._lld(jnp.asarray(pad))), t))
+        for lld in (0, 1, 7, 30):
+            block = vec[lld * E.N_FUNCTIONALS : (lld + 1) * E.N_FUNCTIONALS]
+            col = tracks[:, lld]
+            assert block[0] == pytest.approx(col.max(), rel=1e-4, abs=1e-5)
+            assert block[1] == pytest.approx(col.min(), rel=1e-4, abs=1e-5)
+            assert block[5] == pytest.approx(col.mean(), rel=1e-3, abs=1e-5)
+            assert block[14] == pytest.approx(
+                np.percentile(col, 50), rel=1e-3, abs=1e-4
+            )
+
+    def test_gender_signal(self):
+        """The F0-bearing dims must separate synthetic genders."""
+        from sept_tpu.data.synthetic import make_corpus
+        from sept_tpu.ops.emobase import emobase_functionals_batch
+
+        corpus = make_corpus(n_speakers=6, utts_per_speaker=2, seed=8)
+        waves = {u.utt_id: corpus.wave(u.utt_id) for u in corpus.manifest}
+        vecs = emobase_functionals_batch(waves)
+        by_gender = {"F": [], "M": []}
+        for u in corpus.manifest:
+            by_gender[u.gender].append(vecs[u.utt_id])
+        f = np.stack(by_gender["F"])
+        m = np.stack(by_gender["M"])
+        # track 4 = F0 Hz; functional 5 = mean -> dim 4*19+5
+        f0_dim = 4 * 19 + 5
+        assert f[:, f0_dim].mean() > m[:, f0_dim].mean() + 30.0
+
+    def test_store_schema_includes_emobase(self):
+        from sept_tpu.data.featurize import featurize_corpus
+        from sept_tpu.data.synthetic import make_corpus
+
+        corpus = make_corpus(n_speakers=2, utts_per_speaker=1, seed=8)
+        waves = {u.utt_id: corpus.wave(u.utt_id) for u in corpus.manifest}
+        store = featurize_corpus(waves, feature_len=32, include_gemaps=True)
+        for u in waves:
+            assert store[u]["gemaps"].shape == (88,)
+            assert store[u]["emobase"].shape == (988,)
