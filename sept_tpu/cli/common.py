@@ -10,7 +10,7 @@ import numpy as np
 from sept_tpu.train.config import ExperimentConfig
 
 __all__ = ["add_common_args", "config_from_args", "enable_compile_cache",
-           "setup_seed"]
+           "resolve_mesh", "setup_seed"]
 
 
 def enable_compile_cache(path: str | None = None) -> None:
@@ -31,7 +31,19 @@ def enable_compile_cache(path: str | None = None) -> None:
 def setup_seed(seed: int = 8) -> np.random.Generator:
     """Global determinism (the reference's setup_seed(8),
     utils/training_tools.py:69-74); JAX randomness is threaded explicitly.
-    Also enables the persistent compile cache (idempotent)."""
+    Also enables the persistent compile cache (idempotent) and honors a
+    JAX_PLATFORMS=cpu request (environments whose sitecustomize registers an
+    accelerator plugin pin platform selection, so the env var alone is not
+    enough — an explicit config update before first backend use is)."""
+    import os
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     enable_compile_cache()
     np.random.seed(seed)
     random.seed(seed)
@@ -65,12 +77,66 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scale_lamda", type=float, default=0.0)
     p.add_argument("--grl_lambda", type=float, default=0.1)
     p.add_argument("--gender_lambda", type=float, default=0.1)
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel device count: 0 = auto (all devices "
+                        "on an accelerator backend, 1 on CPU), N = force an "
+                        "N-device mesh")
     p.add_argument("--seed", type=int, default=8)
     p.add_argument("--folds", type=int, nargs="*", default=None,
                    help="1-based fold numbers to run (default: all 5)")
     p.add_argument("--output_dir", default="results")
     p.add_argument("--work_dir", default="work",
                    help="where features/folds are stored")
+
+
+def resolve_mesh(args):
+    """--n_devices -> (mesh or None) for the training drivers.
+
+    0 (auto) uses every visible device on an accelerator backend and stays
+    single-device on CPU (virtual CPU meshes are a test facility — forcing
+    one there requires an explicit --n_devices N).  A 1-device request, or a
+    1-device machine, trains without a mesh.  The reference is single-device
+    (SURVEY.md §2.7); DP is this framework's own scaling surface.
+
+    Multi-host (DCN): set SEPT_COORDINATOR=host:port, SEPT_NUM_PROCESSES and
+    SEPT_PROCESS_ID in each process's environment before launching any CLI —
+    jax.distributed.initialize runs before the first backend use and
+    jax.devices() then spans the whole slice (docs/ARCHITECTURE.md runbook).
+    """
+    import os
+
+    import jax
+
+    coord = os.environ.get("SEPT_COORDINATOR")
+    if coord:
+        from sept_tpu.parallel import init_distributed
+
+        init_distributed(
+            coord,
+            int(os.environ["SEPT_NUM_PROCESSES"]),
+            int(os.environ["SEPT_PROCESS_ID"]),
+        )
+
+    n = args.n_devices
+    if n == 0:
+        n = len(jax.devices()) if jax.default_backend() != "cpu" else 1
+    if n <= 1:
+        return None
+    avail = len(jax.devices())
+    if n > avail:
+        raise SystemExit(
+            f"--n_devices {n} but only {avail} devices visible "
+            "(for a virtual CPU mesh set JAX_PLATFORMS=cpu "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+        )
+    if args.batch_size % n:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by "
+            f"--n_devices {n}"
+        )
+    from sept_tpu.parallel import make_mesh
+
+    return make_mesh(n)
 
 
 def config_from_args(args, **overrides) -> ExperimentConfig:

@@ -27,7 +27,7 @@ def artifact_name(cfg) -> str:
     return f"{base}_{cfg.pred}"
 
 
-def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None):
+def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None):
     from sept_tpu.data.pipeline import batch_iterator
     from sept_tpu.models import build_backbone
     from sept_tpu.train import (
@@ -48,6 +48,9 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None):
         pred=cfg.pred,
         att=cfg.att,
         attention_size=cfg.attention_size,
+        # sync-BN over the mesh axis: train-mode BatchNorm must see the
+        # GLOBAL batch for DP equivalence (parallel/epoch_dp.py)
+        bn_axis_name="data" if mesh is not None else None,
     )
     steps_per_epoch = max(1, len(train_split) // cfg.batch_size)
     tx = make_optimizer(cfg, steps_per_epoch)
@@ -69,14 +72,21 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None):
     use_device_loop = (
         not cfg.global_feature
         and cfg.pred in ("emotion", "gender")
-        and jax.default_backend() != "cpu"  # scan compile is slow on CPU
+        # scan compile is slow on CPU; an explicit mesh overrides (tests /
+        # forced --n_devices on the virtual CPU mesh)
+        and (jax.default_backend() != "cpu" or mesh is not None)
     )
     if use_device_loop:
-        # fast path: device-resident splits + scanned epochs
+        # fast path: device-resident splits + scanned epochs (DP over the
+        # mesh when one is provided)
         result = fit_device(state, model, tx, train_split, val_split,
                             fold.test, cfg, logits_fn, spk_weights=spk_w,
-                            verbose=verbose)
+                            verbose=verbose, mesh=mesh)
     else:
+        if mesh is not None:
+            print("note: --n_devices DP needs the device loop "
+                  "(single-task pred, no global feature); training "
+                  "single-device")
         result = fit(state, step, logits_fn, train_split, val_split,
                      fold.test, cfg, spk_weights=spk_w, verbose=verbose)
     if metrics_path:
@@ -116,9 +126,13 @@ def main(argv=None):
     if args.learning_rate is None:
         cfg.learning_rate = 1e-4 if cfg.optimizer == "sgd" else 5e-5
 
+    from sept_tpu.cli.common import resolve_mesh
     from sept_tpu.data.store import load_fold
     from sept_tpu.train.checkpoint import CheckpointManager
 
+    mesh = resolve_mesh(args)
+    if mesh is not None:
+        print(f"data parallel: {mesh.devices.size}-device mesh")
     fold_dir = os.path.join(args.work_dir, "folds", args.dataset)
     ckpt = CheckpointManager(cfg.output_dir)
     metrics_path = os.path.join(
@@ -130,7 +144,7 @@ def main(argv=None):
             print(f"fold{k}: checkpoint exists, skipping (--resume)")
             continue
         fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
-        result = run_fold(cfg, fold, ckpt, metrics_path=metrics_path)
+        result = run_fold(cfg, fold, ckpt, metrics_path=metrics_path, mesh=mesh)
         accs.append(result.final_test_acc)
         uars.append(result.final_test_uar)
         print(

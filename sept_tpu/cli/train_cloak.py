@@ -30,7 +30,7 @@ def cloak_artifact(cfg) -> str:
     return f"{tag}_lamda{cfg.scale_lambda}_supp{cfg.suppression_ratio}"
 
 
-def run_fold(cfg, fold, ckpt, verbose=True):
+def run_fold(cfg, fold, ckpt, verbose=True, mesh=None):
     from sept_tpu.data.pipeline import batch_iterator
     from sept_tpu.eval.sweep import train_mask
     from sept_tpu.models import CloakedModel, CloakedModelGRL, build_backbone
@@ -53,6 +53,9 @@ def run_fold(cfg, fold, ckpt, verbose=True):
         gender = build_backbone(
             cfg.model_type, hidden_size=cfg.hidden_size, pred="gender",
             att=cfg.att, attention_size=cfg.attention_size,
+            # the gender adversary trains (BN updates): sync-BN under DP;
+            # the frozen emotion backbone runs eval-mode BN and needs none
+            bn_axis_name="data" if mesh is not None else None,
         )
         model = CloakedModelGRL(
             emotion_backbone=backbone, gender_backbone=gender,
@@ -133,14 +136,20 @@ def run_fold(cfg, fold, ckpt, verbose=True):
         return out[0]
 
     spk_w = speaker_weights(fold.training) if "combine" in cfg.dataset else None
-    if not cfg.global_feature and jax.default_backend() != "cpu":
+    if not cfg.global_feature and (
+        jax.default_backend() != "cpu" or mesh is not None
+    ):
         from sept_tpu.train.device_loop import fit_device_cloak
 
         result = fit_device_cloak(
             state, model, tx, fold.training, fold.validation, fold.test, cfg,
             jax.jit(eval_logits), mask=mask, spk_weights=spk_w, verbose=verbose,
+            mesh=mesh,
         )
     else:
+        if mesh is not None:
+            print("note: --n_devices DP needs the device loop (no global "
+                  "feature); training single-device")
         result = fit(
             state, step, jax.jit(eval_logits), fold.training, fold.validation,
             fold.test, cfg, spk_weights=spk_w, mask=mask, verbose=verbose,
@@ -181,9 +190,13 @@ def main(argv=None):
         cfg.learning_rate = 1e-3 if cfg.optimizer == "sgd" else 5e-4
     cfg.lr_step_epochs = 10  # cloak StepLR(10, 0.5) (training_cloak.py:379)
 
+    from sept_tpu.cli.common import resolve_mesh
     from sept_tpu.data.store import load_fold
     from sept_tpu.train.checkpoint import CheckpointManager
 
+    mesh = resolve_mesh(args)
+    if mesh is not None:
+        print(f"data parallel: {mesh.devices.size}-device mesh")
     fold_dir = os.path.join(args.work_dir, "folds", args.dataset)
     ckpt = CheckpointManager(cfg.output_dir)
     accs, uars = [], []
@@ -192,7 +205,7 @@ def main(argv=None):
             print(f"fold{k}: checkpoint exists, skipping (--resume)")
             continue
         fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
-        result = run_fold(cfg, fold, ckpt)
+        result = run_fold(cfg, fold, ckpt, mesh=mesh)
         accs.append(result.final_test_acc)
         uars.append(result.final_test_uar)
         print(

@@ -1,0 +1,233 @@
+"""Data-parallel scanned epoch runners (shard_map over the whole-epoch scan).
+
+The device-resident training path (sept_tpu.train.device_loop) runs each
+epoch as ONE scanned program; this module is its multi-chip form.  The
+dataset splits stay replicated in every chip's HBM (they are tens of MB at
+this framework's corpus scale — cheap next to the model activations), the
+shuffled batch ORDER is sharded along the per-batch axis, and each scan step
+is a local sub-batch forward/backward whose gradients psum over the mesh's
+ICI.  Parity with the single-device runner (sept_tpu.train.steps.
+make_epoch_runner / make_cloak_epoch_runner) up to float association when:
+
+- the model uses sync-BN (``bn_axis_name`` = the mesh axis), so train-mode
+  BatchNorm normalizes over the GLOBAL batch;
+- dropout is off (per-shard dropout masks are valid DP training but not the
+  single-device masks);
+- the cloak noise key is shared (the (win,feats) noise draw broadcasts over
+  batch rows, so identical keys = identical noise on every shard).
+
+Loss formulation: each shard computes ``local_weighted_sum / psum(weights)
+[+ reg / n_devices]`` so that the RAW psum of local gradients equals the
+gradient of the global weighted mean plus exactly one copy of the
+regularizer — no double counting (the subtlety of mixing per-sample losses
+with parameter-only regularizers under DP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sept_tpu.train.steps import TrainState, cloak_scales
+
+__all__ = ["make_epoch_runner_dp", "make_cloak_epoch_runner_dp", "put_replicated"]
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Place every array of a pytree replicated over the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def _weighted_nll(logits, labels, w):
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.sum(nll * w)
+
+
+def _order_spec(mesh: Mesh, axis: str):
+    return (
+        TrainState(params=P(), batch_stats=P(), opt_state=P(), rng=P(), step=P()),
+        P(), P(), P(),          # windows / labels / weights: replicated
+        P(None, axis),          # order: (n_batches, batch) sharded per batch
+    )
+
+
+def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data"):
+    """DP form of sept_tpu.train.steps.make_epoch_runner.
+
+    ``run(state, windows (M,T,D), labels (M,), weights (M,), order (M,),
+    n_batches, batch_size) -> (state, losses, correct, counts)`` — same
+    call signature, state and metrics replicated on return.
+    """
+    n_dev = mesh.devices.size
+
+    def local_epoch(state, windows, labels, weights, order):
+        def body(st, idx):  # idx: (batch/n_dev,) this shard's rows
+            spec = windows[idx][..., None]
+            lab, w = labels[idx], weights[idx]
+            rng, d_rng = jax.random.split(st.rng)
+            denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1e-8)
+
+            def loss_fn(params):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": st.batch_stats},
+                    spec, train=True, rngs={"dropout": d_rng},
+                    mutable=["batch_stats"],
+                )
+                return _weighted_nll(out, lab, w) / denom, (out, mut)
+
+            (local_loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params)
+            loss = jax.lax.psum(local_loss, axis)
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+            # sync-BN models return identical stats on every shard; pmean is
+            # then a no-op, and the plain-BN approximation otherwise
+            batch_stats = jax.tree.map(
+                lambda s: jax.lax.pmean(s, axis), mut["batch_stats"]
+            )
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            new_st = TrainState(
+                params=params, batch_stats=batch_stats, opt_state=opt_state,
+                rng=rng, step=st.step + 1,
+            )
+            correct = jax.lax.psum(
+                jnp.sum((jnp.argmax(logits, -1) == lab) * w), axis
+            )
+            return new_st, (loss, correct, jax.lax.psum(jnp.sum(w), axis))
+
+        state, (losses, correct, counts) = jax.lax.scan(body, state, order)
+        return state, losses, correct, counts
+
+    state_spec = _order_spec(mesh, axis)[0]
+    mapped = jax.jit(jax.shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=_order_spec(mesh, axis),
+        out_specs=(state_spec, P(), P(), P()),
+        check_vma=False,
+    ))
+
+    def run(state, windows, labels, weights, order, *, n_batches, batch_size):
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {n_dev} devices"
+            )
+        order2 = jax.device_put(
+            jnp.reshape(order[: n_batches * batch_size], (n_batches, batch_size)),
+            NamedSharding(mesh, P(None, axis)),
+        )
+        return mapped(state, windows, labels, weights, order2)
+
+    return run
+
+
+def make_cloak_epoch_runner_dp(
+    model,
+    tx,
+    mesh: Mesh,
+    scale_lambda: float = 0.0,
+    gender_lambda: float = 0.1,
+    grl: bool = False,
+    apply_scale_reg: bool = True,
+    pooling: Optional[str] = "mean",
+    axis: str = "data",
+):
+    """DP form of make_cloak_epoch_runner (cloak / cloak+GRL workloads).
+
+    Same call signature as the single-device runner; ``mask=None`` is
+    expressed as an all-ones mask (numerically identical in CloakNoise:
+    ``x*1 + locs + scales*eps*1`` == the unmasked branch) so the shard_map
+    signature stays fixed.
+    """
+    n_dev = mesh.devices.size
+
+    def local_epoch(state, windows, labels_emo, labels_gen, weights, order, mask):
+        def body(st, idx):
+            spec = windows[idx][..., None]
+            le, lg, w = labels_emo[idx], labels_gen[idx], weights[idx]
+            rng, n_rng, d_rng = jax.random.split(st.rng, 3)
+            denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1e-8)
+
+            def loss_fn(params):
+                if grl:
+                    (emo_l, gen_l, _), mut = model.apply(
+                        {"params": params, "batch_stats": st.batch_stats},
+                        spec, mask=mask, train=True, pooling=pooling,
+                        rngs={"noise": n_rng, "dropout": d_rng},
+                        mutable=["batch_stats"],
+                    )
+                    loss = (
+                        _weighted_nll(emo_l, le, w)
+                        + gender_lambda * _weighted_nll(gen_l, lg, w)
+                    ) / denom
+                    logits, bs = emo_l, mut["batch_stats"]
+                else:
+                    logits, _ = model.apply(
+                        {"params": params, "batch_stats": st.batch_stats},
+                        spec, mask=mask, train=True, pooling=pooling,
+                        rngs={"noise": n_rng},
+                    )
+                    loss = _weighted_nll(logits, le, w) / denom
+                    bs = st.batch_stats
+                if apply_scale_reg and scale_lambda:
+                    # parameter-only regularizer: contribute 1/n_dev per
+                    # shard so the raw gradient psum carries exactly one copy
+                    loss = loss - scale_lambda * jnp.log(
+                        jnp.mean(cloak_scales(model, params))
+                    ) / n_dev
+                return loss, (logits, bs)
+
+            (local_loss, (logits, bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params)
+            loss = jax.lax.psum(local_loss, axis)
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+            bs = jax.tree.map(lambda s: jax.lax.pmean(s, axis), bs)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            new_st = TrainState(
+                params=params, batch_stats=bs, opt_state=opt_state,
+                rng=rng, step=st.step + 1,
+            )
+            correct = jax.lax.psum(
+                jnp.sum((jnp.argmax(logits, -1) == le) * w), axis
+            )
+            return new_st, (loss, correct, jax.lax.psum(jnp.sum(w), axis))
+
+        state, (losses, correct, counts) = jax.lax.scan(body, state, order)
+        return state, losses, correct, counts
+
+    state_spec, rep, _, _, order_sp = _order_spec(mesh, axis)
+    mapped = jax.jit(jax.shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(state_spec, rep, rep, rep, rep, order_sp, rep),
+        out_specs=(state_spec, P(), P(), P()),
+        check_vma=False,
+    ))
+
+    def run(state, windows, labels_emo, labels_gen, weights, order, mask,
+            *, n_batches, batch_size):
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {n_dev} devices"
+            )
+        if mask is None:
+            mask = jnp.ones(windows.shape[1:3], jnp.float32)
+        order2 = jax.device_put(
+            jnp.reshape(order[: n_batches * batch_size], (n_batches, batch_size)),
+            NamedSharding(mesh, P(None, axis)),
+        )
+        return mapped(
+            state, windows, labels_emo, labels_gen, weights, order2, mask
+        )
+
+    return run

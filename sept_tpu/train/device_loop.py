@@ -40,10 +40,15 @@ __all__ = ["DeviceSplit", "make_val_pass", "fit_device", "fit_device_cloak"]
 
 class DeviceSplit:
     """One split's windows/labels/weights resident in HBM, padded to a
-    batch-size multiple with zero-weight rows."""
+    batch-size multiple with zero-weight rows.
+
+    With ``mesh``, every array is placed replicated across the mesh (the DP
+    epoch runners read the full split on each chip and shard only the batch
+    order — sept_tpu.parallel.epoch_dp).
+    """
 
     def __init__(self, split: SplitArrays, label_key: str, batch_size: int,
-                 extra_weights: Optional[np.ndarray] = None):
+                 extra_weights: Optional[np.ndarray] = None, mesh=None):
         n = len(split)
         pad = (-n) % batch_size
         w = np.ones(n + pad, np.float32)
@@ -66,6 +71,13 @@ class DeviceSplit:
             self.labels_gen if label_key == "labels_gen" else self.labels_emo
         )
         self.weights = jnp.asarray(w)
+        if mesh is not None:
+            from sept_tpu.parallel.epoch_dp import put_replicated
+
+            (self.windows, self.labels_emo, self.labels_gen, self.labels,
+             self.weights) = put_replicated(
+                (self.windows, self.labels_emo, self.labels_gen, self.labels,
+                 self.weights), mesh)
         self.n_real = n
         self.n_batches = (n + pad) // batch_size
         self.batch_size = batch_size
@@ -120,8 +132,15 @@ def fit_device(
     logits_fn,
     spk_weights: Optional[dict] = None,
     verbose: bool = True,
+    mesh=None,
 ) -> FitResult:
-    """loop.fit with scanned device epochs (baseline/adversary workloads)."""
+    """loop.fit with scanned device epochs (baseline/adversary workloads).
+
+    ``mesh``: run each scanned epoch data-parallel over the mesh (replicated
+    state + splits, sharded batches, psum gradients over ICI —
+    sept_tpu.parallel.epoch_dp).  The model should use sync-BN
+    (``bn_axis_name='data'``) for exact single-device equivalence.
+    """
     label_key = "labels_gen" if cfg.pred == "gender" else "labels_emo"
     extra = None
     if spk_weights is not None:
@@ -132,10 +151,16 @@ def fit_device(
             ],
             dtype=np.float32,
         )
-    train_ds = DeviceSplit(train_split, label_key, cfg.batch_size, extra)
-    val_ds = DeviceSplit(val_split, label_key, cfg.batch_size)
+    train_ds = DeviceSplit(train_split, label_key, cfg.batch_size, extra, mesh)
+    val_ds = DeviceSplit(val_split, label_key, cfg.batch_size, mesh=mesh)
 
-    run_epoch = make_epoch_runner(model, tx)
+    if mesh is not None:
+        from sept_tpu.parallel.epoch_dp import make_epoch_runner_dp, put_replicated
+
+        run_epoch = make_epoch_runner_dp(model, tx, mesh)
+        state = put_replicated(state, mesh)
+    else:
+        run_epoch = make_epoch_runner(model, tx)
     val_pass = make_val_pass(
         lambda p, bs, x: model.apply(
             {"params": p, "batch_stats": bs}, x[..., None]
@@ -220,11 +245,13 @@ def fit_device_cloak(
     mask=None,
     spk_weights: Optional[dict] = None,
     verbose: bool = True,
+    mesh=None,
 ) -> FitResult:
     """Device-resident cloak / cloak+GRL training with scanned epochs.
 
     ``eval_logits_fn(params, batch_stats, spec, global) -> emotion logits``
     should run the cloak forward with a fixed noise key (as the CLIs build).
+    ``mesh``: data-parallel scanned epochs (see fit_device).
     """
     extra = None
     if spk_weights is not None:
@@ -235,16 +262,27 @@ def fit_device_cloak(
             ],
             dtype=np.float32,
         )
-    train_ds = DeviceSplit(train_split, "labels_emo", cfg.batch_size, extra)
-    val_ds = DeviceSplit(val_split, "labels_emo", cfg.batch_size)
+    train_ds = DeviceSplit(train_split, "labels_emo", cfg.batch_size, extra, mesh)
+    val_ds = DeviceSplit(val_split, "labels_emo", cfg.batch_size, mesh=mesh)
     mask_j = None if mask is None else jnp.asarray(mask)
 
-    run_epoch = make_cloak_epoch_runner(
-        model, tx, scale_lambda=cfg.scale_lambda,
-        gender_lambda=cfg.gender_lambda, grl=cfg.grl,
-        apply_scale_reg=cfg.suppression_ratio == 0,
+    runner_opts = dict(
+        scale_lambda=cfg.scale_lambda, gender_lambda=cfg.gender_lambda,
+        grl=cfg.grl, apply_scale_reg=cfg.suppression_ratio == 0,
         pooling=None if "deep" in cfg.model_type else "mean",
     )
+    if mesh is not None:
+        from sept_tpu.parallel.epoch_dp import (
+            make_cloak_epoch_runner_dp,
+            put_replicated,
+        )
+
+        run_epoch = make_cloak_epoch_runner_dp(model, tx, mesh, **runner_opts)
+        state = put_replicated(state, mesh)
+        if mask_j is not None:
+            mask_j = put_replicated(mask_j, mesh)
+    else:
+        run_epoch = make_cloak_epoch_runner(model, tx, **runner_opts)
 
     val_pass = make_val_pass(
         lambda p, bs, x: eval_logits_fn(p, bs, x[..., None], None)

@@ -98,6 +98,225 @@ def test_dp_padding_mask_keeps_loss_exact():
     assert float(m_dp["count"]) == 13.0
 
 
+def _split_arrays(m=32):
+    rng = np.random.default_rng(5)
+    return (
+        rng.standard_normal((m, T, D)).astype(np.float32),
+        (np.arange(m) % 4).astype(np.int32),
+        (np.arange(m) % 2).astype(np.int32),
+        np.where(np.arange(m) < m - 3, 1.0, 0.0).astype(np.float32),
+    )
+
+
+def test_dp_scanned_epoch_matches_single_device():
+    """make_epoch_runner_dp (shard_map + psum over the 8-device mesh) must
+    reproduce the single-device scanned epoch: same params, losses, counts
+    (dropout off, sync-BN on the DP model)."""
+    from sept_tpu.parallel.epoch_dp import make_epoch_runner_dp
+    from sept_tpu.train.steps import make_epoch_runner
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-3, hidden_size=16,
+                           weight_decay=0.0)
+    model = Conv2dBiRNN(hidden_size=16, pred="emotion", dropout_rate=0.0)
+    model_sync = Conv2dBiRNN(hidden_size=16, pred="emotion", dropout_rate=0.0,
+                             bn_axis_name="data")
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    windows, labels, _, weights = _split_arrays(32)
+    b0 = {"spec": jnp.asarray(windows[:16])[..., None],
+          "labels_emo": jnp.asarray(labels[:16]),
+          "labels_gen": jnp.zeros(16, jnp.int32),
+          "global": jnp.zeros((16, 88)), "weight": jnp.ones(16)}
+    state = init_state(model, tx, KEY, b0)
+    order = np.random.default_rng(0).permutation(32)
+
+    run1 = make_epoch_runner(model, tx)
+    s1, l1, c1, n1 = run1(
+        state, jnp.asarray(windows), jnp.asarray(labels), jnp.asarray(weights),
+        jnp.asarray(order), n_batches=2, batch_size=16,
+    )
+
+    mesh = make_mesh()
+    run8 = make_epoch_runner_dp(model_sync, tx, mesh)
+    s8, l8, c8, n8 = run8(
+        state, jnp.asarray(windows), jnp.asarray(labels), jnp.asarray(weights),
+        jnp.asarray(order), n_batches=2, batch_size=16,
+    )
+
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n8), np.asarray(n1), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+
+
+def test_dp_cloak_grl_epoch_matches_single_device():
+    """The cloak+GRL minimax scanned epoch under DP == single device
+    (shared noise keys broadcast the same (T, D) draw on every shard)."""
+    from sept_tpu.models import CloakedModelGRL
+    from sept_tpu.parallel.epoch_dp import make_cloak_epoch_runner_dp
+    from sept_tpu.train import make_cloak_optimizer
+    from sept_tpu.train.steps import TrainState, make_cloak_epoch_runner
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2, hidden_size=8,
+                           weight_decay=0.0)
+
+    def build(sync):
+        kw = dict(hidden_size=8, dropout_rate=0.0,
+                  bn_axis_name="data" if sync else None)
+        return CloakedModelGRL(
+            emotion_backbone=Conv2dBiRNN(pred="emotion", **kw),
+            gender_backbone=Conv2dBiRNN(pred="gender", **kw),
+            grl_lambda=0.5, win_len=T, n_feats=D,
+        )
+
+    model, model_sync = build(False), build(True)
+    windows, le, lg, weights = _split_arrays(32)
+    x0 = jnp.asarray(windows[:16])[..., None]
+    import functools
+
+    v = jax.jit(functools.partial(model.init, train=True))(
+        {"params": KEY, "noise": KEY, "dropout": KEY}, x0
+    )
+    tx = make_cloak_optimizer(cfg, 10, v["params"], ("noise", "gender_backbone"))
+    state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                       opt_state=tx.init(v["params"]), rng=KEY,
+                       step=jnp.zeros((), jnp.int32))
+    order = np.random.default_rng(1).permutation(32)
+    opts = dict(scale_lambda=0.1, gender_lambda=0.3, grl=True,
+                apply_scale_reg=True)
+
+    run1 = make_cloak_epoch_runner(model, tx, **opts)
+    s1, l1, c1, n1 = run1(
+        state, jnp.asarray(windows), jnp.asarray(le), jnp.asarray(lg),
+        jnp.asarray(weights), jnp.asarray(order), None,
+        n_batches=2, batch_size=16,
+    )
+
+    mesh = make_mesh()
+    run8 = make_cloak_epoch_runner_dp(model_sync, tx, mesh, **opts)
+    s8, l8, c8, n8 = run8(
+        state, jnp.asarray(windows), jnp.asarray(le), jnp.asarray(lg),
+        jnp.asarray(weights), jnp.asarray(order), None,
+        n_batches=2, batch_size=16,
+    )
+
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l1), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c1), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    # the frozen emotion backbone must not have moved in either path
+    for a, b in zip(jax.tree.leaves(state.params["emotion_backbone"]),
+                    jax.tree.leaves(s8.params["emotion_backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_device_dp_matches_single_device(tmp_path):
+    """fit_device(mesh=8-device) reproduces fit_device(single) epoch-for-epoch
+    on a real tiny fold (dropout 0, sync-BN), and the CLI mesh resolver
+    drives the same path end-to-end."""
+    from sept_tpu.data import FoldPlan, assemble_fold, featurize_corpus, make_corpus
+    from sept_tpu.train import init_state, make_eval_logits_fn
+    from sept_tpu.train.device_loop import fit_device
+
+    WIN, FD = 50, 32
+    corpus = make_corpus(n_speakers=6, utts_per_speaker=4, seed=8,
+                         min_dur_s=1.0, max_dur_s=1.5)
+    store = featurize_corpus(corpus.waveforms, feature_type="mel_spec",
+                             feature_len=FD, include_gemaps=False)
+    spk = sorted({u.speaker_id for u in corpus.manifest})
+    plan = FoldPlan(1, tuple(spk[:2]), (spk[2],), (spk[3],), (spk[4],), (spk[5],))
+    fold = assemble_fold(corpus.manifest, store, plan, dataset="synthetic",
+                         feature_len=FD, win_len=WIN, norm="znorm", aug=None)
+
+    cfg = ExperimentConfig(win_len=WIN, feature_len=FD, batch_size=16,
+                           num_epochs=2, hidden_size=8, optimizer="sgd",
+                           learning_rate=1e-3, weight_decay=0.0,
+                           min_select_epoch=0, pred="emotion")
+    tx = make_optimizer(cfg, steps_per_epoch=4)
+
+    def run(mesh, model):
+        b0 = {
+            "spec": jnp.asarray(fold.training.windows[:16])[..., None],
+            "labels_emo": jnp.asarray(fold.training.labels_emo[:16]),
+            "labels_gen": jnp.asarray(fold.training.labels_gen[:16]),
+            "global": jnp.zeros((16, 88)), "weight": jnp.ones(16),
+        }
+        state = init_state(model, tx, KEY, b0)
+        return fit_device(state, model, tx, fold.training, fold.validation,
+                          fold.test, cfg, make_eval_logits_fn(model),
+                          verbose=False, mesh=mesh)
+
+    r1 = run(None, Conv2dBiRNN(hidden_size=8, pred="emotion", dropout_rate=0.0))
+    r8 = run(make_mesh(), Conv2dBiRNN(hidden_size=8, pred="emotion",
+                                      dropout_rate=0.0, bn_axis_name="data"))
+    for h1, h8 in zip(r1.history, r8.history):
+        assert h8["train"]["loss"] == pytest.approx(h1["train"]["loss"], rel=1e-4)
+        assert h8["validate"]["loss"] == pytest.approx(h1["validate"]["loss"], rel=1e-4)
+    assert r8.final_test_acc == pytest.approx(r1.final_test_acc, abs=1e-6)
+
+
+def test_dp_epoch_rejects_indivisible_batch():
+    from sept_tpu.parallel.epoch_dp import make_epoch_runner_dp
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-3, hidden_size=16)
+    model = Conv2dBiRNN(hidden_size=16, pred="emotion")
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    run = make_epoch_runner_dp(model, tx, make_mesh())
+    with pytest.raises(ValueError, match="not divisible"):
+        run(None, None, None, None, jnp.arange(12), n_batches=1, batch_size=12)
+
+
+def test_init_distributed_plumbs_to_jax(monkeypatch):
+    """Multi-host DCN init forwards coordinator/process args to
+    jax.distributed.initialize and no-ops for single-process runs."""
+    from sept_tpu.parallel import init_distributed
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda coordinator_address, num_processes, process_id: calls.append(
+            (coordinator_address, num_processes, process_id)
+        ),
+    )
+    init_distributed("10.0.0.1:1234", 4, 2)
+    assert calls == [("10.0.0.1:1234", 4, 2)]
+    init_distributed(None, 1, 0)  # single process: no-op
+    init_distributed()
+    assert len(calls) == 1
+
+
+def test_resolve_mesh_dcn_env(monkeypatch):
+    """The CLI mesh resolver initializes DCN from SEPT_COORDINATOR env."""
+    import argparse
+
+    from sept_tpu.cli.common import resolve_mesh
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a: calls.append(a),
+    )
+    monkeypatch.setenv("SEPT_COORDINATOR", "head:9999")
+    monkeypatch.setenv("SEPT_NUM_PROCESSES", "2")
+    monkeypatch.setenv("SEPT_PROCESS_ID", "0")
+    args = argparse.Namespace(n_devices=8, batch_size=32)
+    mesh = resolve_mesh(args)
+    assert calls == [("head:9999", 2, 0)]
+    assert mesh is not None and mesh.devices.size == 8
+
+
+def test_resolve_mesh_auto_is_single_on_cpu():
+    import argparse
+
+    from sept_tpu.cli.common import resolve_mesh
+
+    assert resolve_mesh(argparse.Namespace(n_devices=0, batch_size=32)) is None
+    with pytest.raises(SystemExit, match="divisible"):
+        resolve_mesh(argparse.Namespace(n_devices=8, batch_size=12))
+
+
 def test_shard_map_dp_matches_single_device():
     """Explicit psum/pmean formulation == single-device step (dropout off)."""
     from sept_tpu.parallel.shard_map_dp import make_shard_map_dp_step
