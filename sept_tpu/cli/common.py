@@ -77,6 +77,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scale_lamda", type=float, default=0.0)
     p.add_argument("--grl_lambda", type=float, default=0.1)
     p.add_argument("--gender_lambda", type=float, default=0.1)
+    p.add_argument("--antithetic", type=int, default=0,
+                   help="antithetic +eps/-eps cloak noise pairs "
+                        "(variance-reduced sigma gradients)")
+    p.add_argument("--saliency_align", type=float, default=0.0,
+                   help="saliency-aligned scale shaping weight for the GRL "
+                        "cloak (0 = reference loss)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel device count: 0 = auto (all devices "
                         "on an accelerator backend, 1 on CPU), N = force an "
@@ -161,6 +167,8 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
         suppression_ratio=args.suppression_ratio,
         grl_lambda=args.grl_lambda,
         gender_lambda=args.gender_lambda,
+        antithetic_noise=bool(getattr(args, "antithetic", 0)),
+        saliency_align=float(getattr(args, "saliency_align", 0.0)),
         seed=args.seed,
         output_dir=args.output_dir,
     )

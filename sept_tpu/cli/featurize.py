@@ -30,10 +30,11 @@ def main(argv=None):
     from sept_tpu.data.featurize import featurize_corpus
     from sept_tpu.data.store import save_feature_store, save_manifest
 
-    if args.dataset == "synthetic":
-        from sept_tpu.data.synthetic import make_corpus
+    if args.dataset in ("synthetic", "synthetic_hard"):
+        from sept_tpu.data.synthetic import make_corpus, make_hard_corpus
 
-        corpus = make_corpus(args.n_speakers, args.utts_per_speaker, args.seed)
+        maker = make_hard_corpus if args.dataset == "synthetic_hard" else make_corpus
+        corpus = maker(args.n_speakers, args.utts_per_speaker, args.seed)
         manifest, waveforms = corpus.manifest, corpus.waveforms
     else:
         if not args.corpus_root:

@@ -117,12 +117,14 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None):
             model, tx, scale_lambda=cfg.scale_lambda,
             gender_lambda=cfg.gender_lambda, use_global=cfg.global_feature,
             apply_scale_reg=apply_reg, pooling=pooling,
+            antithetic=cfg.antithetic_noise,
+            saliency_align=cfg.saliency_align,
         )
     else:
         step = make_cloak_step(
             model, tx, scale_lambda=cfg.scale_lambda,
             use_global=cfg.global_feature, apply_scale_reg=apply_reg,
-            pooling=pooling,
+            pooling=pooling, antithetic=cfg.antithetic_noise,
         )
 
     # eval logits: cloak forward (emotion head), fixed noise key per eval

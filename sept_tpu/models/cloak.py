@@ -71,8 +71,14 @@ class CloakNoise(nn.Module):
             self.max_scale - self.min_scale
         ) + self.min_scale
 
-    def sample_noise(self, mask: Optional[jax.Array] = None) -> jax.Array:
-        eps = self.eps_std * jax.random.normal(
+    def sample_noise(
+        self, mask: Optional[jax.Array] = None, sign: float = 1.0
+    ) -> jax.Array:
+        """``sign`` flips the epsilon draw: evaluating the loss at both
+        +eps and -eps from the SAME key (antithetic pair) cancels the
+        first-order noise of the sigma gradient and leaves the curvature
+        signal that actually differentiates the per-cell scales."""
+        eps = sign * self.eps_std * jax.random.normal(
             self.make_rng("noise"), self.rhos.shape, dtype=jnp.float32
         )
         if mask is not None:
@@ -80,10 +86,11 @@ class CloakNoise(nn.Module):
         return self.locs + self.scales() * eps
 
     def __call__(
-        self, x: jax.Array, mask: Optional[jax.Array] = None
+        self, x: jax.Array, mask: Optional[jax.Array] = None,
+        sign: float = 1.0,
     ) -> jax.Array:
         """x: (..., win_len, n_feats); one shared noise draw per call."""
-        noise = self.sample_noise(mask)
+        noise = self.sample_noise(mask, sign)
         if mask is None:
             return x + noise
         return x * mask + noise
@@ -112,6 +119,7 @@ class CloakedModel(nn.Module):
         mask: Optional[jax.Array] = None,
         train: bool = False,
         pooling: Optional[str] = "mean",
+        noise_sign: float = 1.0,
     ):
         noise = CloakNoise(
             win_len=self.win_len,
@@ -120,7 +128,7 @@ class CloakedModel(nn.Module):
             max_scale=self.max_scale,
             name="noise",
         )
-        noised = noise(x[..., 0], mask=mask)[..., None]  # (B, T, D, 1)
+        noised = noise(x[..., 0], mask=mask, sign=noise_sign)[..., None]  # (B, T, D, 1)
         noisy = jax.lax.stop_gradient(noised)
         # frozen backbone: always eval-mode (BN running stats, no dropout);
         # gradients flow through to the noise parameters.
@@ -161,6 +169,7 @@ class CloakedModelGRL(nn.Module):
         mask: Optional[jax.Array] = None,
         train: bool = False,
         pooling: Optional[str] = "mean",
+        noise_sign: float = 1.0,
     ):
         noise = CloakNoise(
             win_len=self.win_len,
@@ -169,7 +178,7 @@ class CloakedModelGRL(nn.Module):
             max_scale=self.max_scale,
             name="noise",
         )
-        noised = noise(x[..., 0], mask=mask)[..., None]
+        noised = noise(x[..., 0], mask=mask, sign=noise_sign)[..., None]
         noisy = jax.lax.stop_gradient(noised)
 
         emo_logits = self.emotion_backbone(

@@ -33,7 +33,11 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sept_tpu.train.steps import TrainState, cloak_scales
+from sept_tpu.train.steps import (
+    TrainState,
+    cloak_scales,
+    saliency_alignment_loss,
+)
 
 __all__ = ["make_epoch_runner_dp", "make_cloak_epoch_runner_dp", "put_replicated"]
 
@@ -138,6 +142,8 @@ def make_cloak_epoch_runner_dp(
     grl: bool = False,
     apply_scale_reg: bool = True,
     pooling: Optional[str] = "mean",
+    antithetic: bool = False,
+    saliency_align: float = 0.0,
     axis: str = "data",
 ):
     """DP form of make_cloak_epoch_runner (cloak / cloak+GRL workloads).
@@ -158,30 +164,58 @@ def make_cloak_epoch_runner_dp(
 
             def loss_fn(params):
                 if grl:
-                    (emo_l, gen_l, _), mut = model.apply(
-                        {"params": params, "batch_stats": st.batch_stats},
-                        spec, mask=mask, train=True, pooling=pooling,
-                        rngs={"noise": n_rng, "dropout": d_rng},
-                        mutable=["batch_stats"],
-                    )
+                    def branch(sign):
+                        return model.apply(
+                            {"params": params, "batch_stats": st.batch_stats},
+                            spec, mask=mask, train=True, pooling=pooling,
+                            noise_sign=sign,
+                            rngs={"noise": n_rng, "dropout": d_rng},
+                            mutable=["batch_stats"],
+                        )
+
+                    (emo_l, gen_l, _), mut = branch(1.0)
                     loss = (
                         _weighted_nll(emo_l, le, w)
                         + gender_lambda * _weighted_nll(gen_l, lg, w)
                     ) / denom
+                    if antithetic:
+                        (emo_m, gen_m, _), _ = branch(-1.0)
+                        loss = 0.5 * (
+                            loss
+                            + (
+                                _weighted_nll(emo_m, le, w)
+                                + gender_lambda * _weighted_nll(gen_m, lg, w)
+                            ) / denom
+                        )
                     logits, bs = emo_l, mut["batch_stats"]
                 else:
-                    logits, _ = model.apply(
-                        {"params": params, "batch_stats": st.batch_stats},
-                        spec, mask=mask, train=True, pooling=pooling,
-                        rngs={"noise": n_rng},
-                    )
+                    def branch(sign):
+                        out, _ = model.apply(
+                            {"params": params, "batch_stats": st.batch_stats},
+                            spec, mask=mask, train=True, pooling=pooling,
+                            noise_sign=sign,
+                            rngs={"noise": n_rng},
+                        )
+                        return out
+
+                    logits = branch(1.0)
                     loss = _weighted_nll(logits, le, w) / denom
+                    if antithetic:
+                        loss = 0.5 * (
+                            loss + _weighted_nll(branch(-1.0), le, w) / denom
+                        )
                     bs = st.batch_stats
                 if apply_scale_reg and scale_lambda:
                     # parameter-only regularizer: contribute 1/n_dev per
                     # shard so the raw gradient psum carries exactly one copy
                     loss = loss - scale_lambda * jnp.log(
                         jnp.mean(cloak_scales(model, params))
+                    ) / n_dev
+                if grl and saliency_align:
+                    # per-shard saliency over the local sub-batch; the psum
+                    # averages the shards' alignment gradients (1/n_dev each)
+                    loss = loss + saliency_align * saliency_alignment_loss(
+                        model, params, st.batch_stats, spec, le, lg, w, pooling
                     ) / n_dev
                 return loss, (logits, bs)
 

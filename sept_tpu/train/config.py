@@ -66,6 +66,13 @@ class ExperimentConfig:
     gender_lambda: float = 0.1
     noise_min_scale: float = 0.01
     noise_max_scale: float = 10.0  # 5.0 at evaluation (adversary_cloak_evaluation.py:205)
+    # antithetic +eps/-eps loss pairs: variance-reduced sigma gradients so
+    # the per-cell scales differentiate (framework extension; same expected
+    # loss as the reference's single-draw estimator)
+    antithetic_noise: bool = False
+    # first-order saliency-aligned scale shaping for the GRL game (framework
+    # extension, steps.saliency_alignment_loss); 0 = reference behavior
+    saliency_align: float = 0.0
 
     # infra
     seed: int = 8

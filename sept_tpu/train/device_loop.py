@@ -270,6 +270,8 @@ def fit_device_cloak(
         scale_lambda=cfg.scale_lambda, gender_lambda=cfg.gender_lambda,
         grl=cfg.grl, apply_scale_reg=cfg.suppression_ratio == 0,
         pooling=None if "deep" in cfg.model_type else "mean",
+        antithetic=cfg.antithetic_noise,
+        saliency_align=cfg.saliency_align,
     )
     if mesh is not None:
         from sept_tpu.parallel.epoch_dp import (

@@ -42,6 +42,7 @@ __all__ = [
     "make_cloak_step",
     "make_cloak_grl_step",
     "cloak_scales",
+    "saliency_alignment_loss",
 ]
 
 
@@ -222,6 +223,8 @@ def make_cloak_epoch_runner(
     grl: bool = False,
     apply_scale_reg: bool = True,
     pooling: Optional[str] = "mean",
+    antithetic: bool = False,
+    saliency_align: float = 0.0,
 ):
     """Whole-epoch cloak / cloak+GRL trainer as one scanned device program.
 
@@ -229,7 +232,8 @@ def make_cloak_epoch_runner(
     cloak (or GRL minimax) loss with per-batch noise/dropout keys split from
     the carried rng.  ``run(state, windows (M,T,D), labels_emo, labels_gen,
     weights, order, mask, n_batches, batch_size)``; pass ``mask=None`` for
-    unsuppressed training.
+    unsuppressed training.  ``antithetic``: +eps/-eps loss pair per step
+    (see make_cloak_step).
     """
 
     @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
@@ -243,27 +247,49 @@ def make_cloak_epoch_runner(
 
             def loss_fn(params):
                 if grl:
-                    (emo_l, gen_l, _), mut = model.apply(
-                        {"params": params, "batch_stats": st.batch_stats},
-                        spec, mask=mask, train=True, pooling=pooling,
-                        rngs={"noise": n_rng, "dropout": d_rng},
-                        mutable=["batch_stats"],
-                    )
+                    def branch(sign):
+                        return model.apply(
+                            {"params": params, "batch_stats": st.batch_stats},
+                            spec, mask=mask, train=True, pooling=pooling,
+                            noise_sign=sign,
+                            rngs={"noise": n_rng, "dropout": d_rng},
+                            mutable=["batch_stats"],
+                        )
+
+                    (emo_l, gen_l, _), mut = branch(1.0)
                     loss = weighted_ce(emo_l, le, w) + gender_lambda * weighted_ce(
                         gen_l, lg, w
                     )
+                    if antithetic:
+                        (emo_m, gen_m, _), _ = branch(-1.0)
+                        loss = 0.5 * (
+                            loss
+                            + weighted_ce(emo_m, le, w)
+                            + gender_lambda * weighted_ce(gen_m, lg, w)
+                        )
                     logits, bs = emo_l, mut["batch_stats"]
                 else:
-                    logits, _ = model.apply(
-                        {"params": params, "batch_stats": st.batch_stats},
-                        spec, mask=mask, train=True, pooling=pooling,
-                        rngs={"noise": n_rng},
-                    )
+                    def branch(sign):
+                        out, _ = model.apply(
+                            {"params": params, "batch_stats": st.batch_stats},
+                            spec, mask=mask, train=True, pooling=pooling,
+                            noise_sign=sign,
+                            rngs={"noise": n_rng},
+                        )
+                        return out
+
+                    logits = branch(1.0)
                     loss = weighted_ce(logits, le, w)
+                    if antithetic:
+                        loss = 0.5 * (loss + weighted_ce(branch(-1.0), le, w))
                     bs = st.batch_stats
                 if apply_scale_reg and scale_lambda:
                     loss = loss - scale_lambda * jnp.log(
                         jnp.mean(cloak_scales(model, params))
+                    )
+                if grl and saliency_align:
+                    loss = loss + saliency_align * saliency_alignment_loss(
+                        model, params, st.batch_stats, spec, le, lg, w, pooling
                     )
                 return loss, (logits, bs)
 
@@ -303,6 +329,58 @@ def make_eval_logits_fn(model, use_global: bool = False, **apply_kwargs):
     return fn
 
 
+def saliency_alignment_loss(
+    model, params, batch_stats, spec, labels_emo, labels_gen, weights,
+    pooling: Optional[str] = "mean",
+) -> jax.Array:
+    """First-order scale-shaping term for the cloak+GRL game.
+
+    The reference's only channel for differentiating the per-cell noise
+    scales is the curvature of the CE under the eps draw — an O(eps^2)
+    signal that, at this problem's size, leaves the sigma map uniform and
+    the suppression masks equivalent to random cell deletion.  This term is
+    the framework's explicit, documented alternative: compute each frozen
+    branch's input saliency |dCE/dx| per (frame, mel) cell, and push the
+    noise scale UP where the gender adversary is sensitive and DOWN where
+    the emotion model is:
+
+        align = mean( scales * (sal_emo - sal_gen) )        (both unit-mean)
+
+    Minimizing it allocates noise (and therefore the percentile suppression
+    masks, training_cloak.py:364-371 / adversary_cloak_evaluation.py:262-267)
+    onto privacy-bearing cells first.  Saliencies are stop-gradient
+    constants: the term is linear in scales, so the sigma gradient is
+    first-order and exact.  Off by default (scale_lambda-only training is
+    the reference behavior); enabled via ExperimentConfig.saliency_align.
+    """
+    eps = 1e-8
+    x = jax.lax.stop_gradient(spec)
+
+    def branch_saliency(backbone, sub_params, sub_stats, labels):
+        def ce(xin):
+            logits = backbone.apply(
+                {"params": sub_params, "batch_stats": sub_stats},
+                xin, train=False, pooling=pooling,
+            )
+            return weighted_ce(logits, labels, weights)
+
+        sal = jnp.abs(jax.grad(ce)(x)).mean(axis=0)[..., 0]  # (T, D)
+        return sal / (jnp.mean(sal) + eps)
+
+    p = jax.lax.stop_gradient(params)
+    bs = jax.lax.stop_gradient(batch_stats)
+    sal_emo = branch_saliency(
+        model.emotion_backbone, p["emotion_backbone"],
+        bs.get("emotion_backbone", {}), labels_emo,
+    )
+    sal_gen = branch_saliency(
+        model.gender_backbone, p["gender_backbone"],
+        bs.get("gender_backbone", {}), labels_gen,
+    )
+    scales = cloak_scales(model, params)  # differentiable path
+    return jnp.mean(scales * (sal_emo - sal_gen))
+
+
 def cloak_scales(model, params) -> jax.Array:
     """Current noise scales from a cloak model's params (tanh squash)."""
     rhos = params["noise"]["rhos"]
@@ -319,8 +397,16 @@ def make_cloak_step(
     use_global: bool = False,
     apply_scale_reg: bool = True,
     pooling: Optional[str] = "mean",
+    antithetic: bool = False,
 ):
-    """Jitted cloak step: only noise params move (tx is partition-frozen)."""
+    """Jitted cloak step: only noise params move (tx is partition-frozen).
+
+    ``antithetic``: evaluate the loss at +eps AND -eps from the same draw
+    and average.  The first-order noise of the sigma gradient (E[g*eps] = 0)
+    cancels exactly between the pair, exposing the curvature signal that
+    differentiates per-cell scales — the variance reduction that makes the
+    suppression masks meaningful instead of percentile cuts over jitter.
+    """
 
     label_key = "labels_emo" if model.backbone.pred == "emotion" else "labels_gen"
 
@@ -330,16 +416,26 @@ def make_cloak_step(
         g = batch["global"] if use_global else None
 
         def loss_fn(params):
-            logits, _noisy = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["spec"],
-                global_feature=g,
-                mask=mask,
-                train=True,
-                pooling=pooling,
-                rngs={"noise": n_rng},
-            )
+            def branch(sign):
+                logits, _noisy = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["spec"],
+                    global_feature=g,
+                    mask=mask,
+                    train=True,
+                    pooling=pooling,
+                    noise_sign=sign,
+                    rngs={"noise": n_rng},
+                )
+                return logits
+
+            logits = branch(1.0)
             loss = weighted_ce(logits, batch[label_key], batch["weight"])
+            if antithetic:
+                loss = 0.5 * (
+                    loss
+                    + weighted_ce(branch(-1.0), batch[label_key], batch["weight"])
+                )
             if apply_scale_reg and scale_lambda:
                 scale_loss = jnp.log(jnp.mean(cloak_scales(model, params)))
                 loss = loss - scale_lambda * scale_loss
@@ -364,8 +460,15 @@ def make_cloak_grl_step(
     use_global: bool = False,
     apply_scale_reg: bool = True,
     pooling: Optional[str] = "mean",
+    antithetic: bool = False,
+    saliency_align: float = 0.0,
 ):
-    """Jitted cloak+GRL minimax step (noise + gender adversary update)."""
+    """Jitted cloak+GRL minimax step (noise + gender adversary update).
+
+    ``antithetic``: +eps/-eps loss pair (see make_cloak_step) — metrics and
+    BN stats come from the +eps pass.  ``saliency_align``: weight of the
+    first-order scale-shaping term (see saliency_alignment_loss).
+    """
 
     @jax.jit
     def step(state: TrainState, batch: dict, mask: Optional[jax.Array] = None):
@@ -373,22 +476,39 @@ def make_cloak_grl_step(
         g = batch["global"] if use_global else None
 
         def loss_fn(params):
-            (emo_logits, gen_logits, _noisy), mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["spec"],
-                global_feature=g,
-                mask=mask,
-                train=True,
-                pooling=pooling,
-                rngs={"noise": n_rng, "dropout": d_rng},
-                mutable=["batch_stats"],
-            )
-            emo_loss = weighted_ce(emo_logits, batch["labels_emo"], batch["weight"])
-            gen_loss = weighted_ce(gen_logits, batch["labels_gen"], batch["weight"])
-            loss = emo_loss + gender_lambda * gen_loss
+            def branch(sign):
+                return model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["spec"],
+                    global_feature=g,
+                    mask=mask,
+                    train=True,
+                    pooling=pooling,
+                    noise_sign=sign,
+                    rngs={"noise": n_rng, "dropout": d_rng},
+                    mutable=["batch_stats"],
+                )
+
+            def pair_loss(out):
+                (emo_logits, gen_logits, _noisy) = out
+                emo = weighted_ce(emo_logits, batch["labels_emo"], batch["weight"])
+                gen = weighted_ce(gen_logits, batch["labels_gen"], batch["weight"])
+                return emo + gender_lambda * gen
+
+            (emo_logits, gen_logits, _noisy), mut = branch(1.0)
+            loss = pair_loss((emo_logits, gen_logits, _noisy))
+            if antithetic:
+                out_m, _ = branch(-1.0)
+                loss = 0.5 * (loss + pair_loss(out_m))
             if apply_scale_reg and scale_lambda:
                 loss = loss - scale_lambda * jnp.log(
                     jnp.mean(cloak_scales(model, params))
+                )
+            if saliency_align:
+                loss = loss + saliency_align * saliency_alignment_loss(
+                    model, params, state.batch_stats, batch["spec"],
+                    batch["labels_emo"], batch["labels_gen"],
+                    batch["weight"], pooling,
                 )
             return loss, (emo_logits, gen_logits, mut)
 
