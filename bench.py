@@ -6,14 +6,25 @@ re-creation of the reference pipeline):
 - featurize N 2.5-s utterances (mel spectrogram n_fft=800/hop 160/128 mels,
   dB) — here as one batched, jitted MXU GEMM chain instead of the
   reference's per-utterance CPU loop;
-- window to (4N, 200, 128) with stride 50;
-- one training epoch of the Conv2dBiRNN workhorse (SGD momentum, batch 32)
-  as a jitted donated-state step.
+- window to (2N, 200, 128) with stride 50;
+- one 64-batch training epoch of the Conv2dBiRNN workhorse (SGD momentum,
+  batch 32) as one scanned device program.
 
 Steady-state throughput (compile excluded via warmup on identical shapes;
 the torch reference is eager and has no compile either).  Prints ONE JSON
-line; vs_baseline is measured against benchmarks/reference_cpu.json from the
-same machine (reference repo publishes no numbers — BASELINE.md).
+line.  BASELINE LABELING: vs_baseline is measured against
+benchmarks/reference_cpu.json from the same machine — the reference
+pipeline in eager torch on a SINGLE CPU core (this box has one core; the
+reference repo publishes no numbers of its own, BASELINE.md).
+
+Also reported in ``detail``:
+- mfu: model-FLOPs utilization of the training epoch against the v5e chip's
+  197 TFLOP/s bf16 peak (XLA cost-analysis FLOPs / elapsed / peak) — this
+  run computes in f32, so the ceiling is conservative;
+- featurize_bf16_s: the fused Pallas bf16-throughput frontend
+  (ops/pallas_frontend.py), the measured-fastest mel path;
+- gemaps_emobase_s: device functional featurization (88-dim eGeMAPS-style +
+  988-dim emobase-style) for the same N utterances.
 """
 
 import json
@@ -21,6 +32,8 @@ import os
 import time
 
 import numpy as np
+
+V5E_BF16_PEAK = 197e12  # FLOP/s, one v5e chip
 
 
 def main():
@@ -41,7 +54,7 @@ def main():
         make_optimizer,
     )
 
-    SR, N_UTTS, DUR_S = 16000, 256, 2.5
+    SR, N_UTTS, DUR_S = 16000, 1024, 2.5
     WIN, SHIFT, D = 200, 50, 128
     BATCH = 32
 
@@ -55,11 +68,10 @@ def main():
         for i in range(N_UTTS)
     }
 
-
     cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-4,
                            hidden_size=64, batch_size=BATCH)
     model = Conv2dBiRNN(hidden_size=64, pred="emotion")
-    tx = make_optimizer(cfg, steps_per_epoch=32)
+    tx = make_optimizer(cfg, steps_per_epoch=64)
     dummy = {
         "spec": jnp.zeros((BATCH, WIN, D, 1), jnp.float32),
         "labels_emo": jnp.zeros((BATCH,), jnp.int32),
@@ -73,20 +85,23 @@ def main():
     jax.block_until_ready(state.params)
 
     # ---- timed: on-device ingest (featurize + znorm + window, zero D2H) ----
+    from sept_tpu.data.device_pipeline import device_ingest
+
     wave_list = [waves[k] for k in waves]
     spk = (np.arange(N_UTTS) % 16).astype(np.int32)
     labels = (np.arange(N_UTTS) % 4).astype(np.int32)
-    # warmup-compile the ingest on identical shapes
-    from sept_tpu.data.device_pipeline import device_ingest
 
-    device_ingest(wave_list[:N_UTTS], spk, labels, labels % 2,
-                  win_len=WIN, shift_len=SHIFT)
-    t0 = time.perf_counter()
-    ds = device_ingest(wave_list, spk, labels, labels % 2,
-                       win_len=WIN, shift_len=SHIFT)
-    jax.block_until_ready(ds.windows)
-    t_feat = time.perf_counter() - t0
-    t_win = 0.0
+    def timed_ingest(frontend):
+        device_ingest(wave_list, spk, labels, labels % 2, win_len=WIN,
+                      shift_len=SHIFT, frontend=frontend)  # warmup-compile
+        t0 = time.perf_counter()
+        ds = device_ingest(wave_list, spk, labels, labels % 2, win_len=WIN,
+                           shift_len=SHIFT, frontend=frontend)
+        jax.block_until_ready(ds.windows)
+        return ds, time.perf_counter() - t0
+
+    ds, t_feat = timed_ingest("xla")  # parity mode: the headline pipeline
+    _, t_feat_bf16 = timed_ingest("pallas_bf16")
 
     # ---- timed: one training epoch as a single scanned device program ----
     from sept_tpu.train import make_epoch_runner
@@ -95,9 +110,8 @@ def main():
     n_batches = m_total // BATCH
     order = jnp.asarray(np.random.default_rng(0).permutation(m_total))
     run_epoch = make_epoch_runner(model, tx)
-    # warmup compile
     out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight, order,
-                    n_batches=n_batches, batch_size=BATCH)
+                    n_batches=n_batches, batch_size=BATCH)  # warmup
     jax.block_until_ready(out[0].params)
     t0 = time.perf_counter()
     state, losses, correct, counts = run_epoch(
@@ -107,7 +121,31 @@ def main():
     jax.block_until_ready(state.params)
     t_train = time.perf_counter() - t0
 
-    total = t_feat + t_win + t_train
+    # MFU: XLA's counted FLOPs for the whole epoch program / elapsed / peak
+    mfu = None
+    try:
+        cost = run_epoch.lower(
+            state, ds.windows, ds.labels_emo, ds.weight, order,
+            n_batches=n_batches, batch_size=BATCH,
+        ).compile().cost_analysis()
+        if cost and cost.get("flops"):
+            mfu = float(cost["flops"]) / t_train / V5E_BF16_PEAK
+    except Exception:
+        pass
+
+    # ---- timed: functional featurization (gemaps + emobase), warm ----
+    from sept_tpu.ops.egemaps import egemaps_functionals_batch
+    from sept_tpu.ops.emobase import emobase_functionals_batch
+
+    sub = {k: waves[k] for k in list(waves)[:128]}
+    egemaps_functionals_batch(sub)
+    emobase_functionals_batch(sub)  # warm the (one) bucket shape
+    t0 = time.perf_counter()
+    egemaps_functionals_batch(waves)
+    emobase_functionals_batch(waves)
+    t_func = time.perf_counter() - t0
+
+    total = t_feat + t_train
     utts_per_sec = N_UTTS / total
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -124,11 +162,16 @@ def main():
         "unit": "utt/s/chip",
         "vs_baseline": vs_baseline,
         "detail": {
+            "baseline": "reference pipeline, eager torch-CPU, 1 thread/1 core"
+                        " (benchmarks/reference_cpu.json)",
             "n_utts": N_UTTS,
             "n_windows": int(m_total),
+            "n_train_batches": int(n_batches),
             "featurize_s": round(t_feat, 3),
-            
+            "featurize_bf16_s": round(t_feat_bf16, 3),
             "train_epoch_s": round(t_train, 3),
+            "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+            "gemaps_emobase_s": round(t_func, 3),
             "device": str(jax.devices()[0]),
         },
     }))

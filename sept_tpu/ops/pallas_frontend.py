@@ -58,14 +58,19 @@ def _mel_kernel(
     amin: float,
 ):
     frames = frames_ref[:, :] * window_ref[0, :][None, :]
-    # full-f32 MXU passes: default precision costs ~0.5 relative error on the
-    # power spectrum (1.9 dB after log), breaking torchaudio parity
-    hi = jax.lax.Precision.HIGHEST
+    # parity mode (f32 operands): full-f32 MXU passes — default precision
+    # costs ~0.5 relative error on the power spectrum (1.9 dB after log),
+    # breaking torchaudio parity.  throughput mode (bf16 operands): the MXU's
+    # native bf16 systolic passes with f32 accumulation
+    # (preferred_element_type) — ~1e-2 dB deviation, ~4x the GEMM rate.
+    hi = (jax.lax.Precision.HIGHEST if frames_ref.dtype == jnp.float32
+          else jax.lax.Precision.DEFAULT)
     re = jnp.dot(frames, cos_ref[:, :], precision=hi,
                  preferred_element_type=jnp.float32)
     im = jnp.dot(frames, sin_ref[:, :], precision=hi,
                  preferred_element_type=jnp.float32)
-    power = re * re + im * im
+    power = re * re + im * im  # f32 regardless of input dtype
+    power = power.astype(fb_ref.dtype)
     mel = jnp.dot(power, fb_ref[:, :], precision=hi,
                   preferred_element_type=jnp.float32)
     out_ref[:, :] = 10.0 * jnp.log10(jnp.maximum(mel, amin))
@@ -73,7 +78,7 @@ def _mel_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop", "n_mels", "tile", "interpret"),
+    static_argnames=("n_fft", "hop", "n_mels", "tile", "bf16", "interpret"),
 )
 def pallas_mel_spectrogram(
     padded_waves: jax.Array,  # (B, L) — host reflect-padded, L >= frames*hop+n_fft
@@ -81,6 +86,7 @@ def pallas_mel_spectrogram(
     hop: int = 160,
     n_mels: int = 128,
     tile: int = 128,
+    bf16: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused mel spectrogram, (B, n_frames, n_mels), dB (top_db=None).
@@ -88,6 +94,11 @@ def pallas_mel_spectrogram(
     n_frames = (L - n_fft) // hop rounded down to a multiple of ``tile``
     worth of full tiles plus the remainder handled by padding L upward; pad
     the input generously and trim the output to the true frame count.
+
+    ``bf16``: throughput mode — the DFT/mel GEMMs run as native bf16 MXU
+    passes with f32 accumulation (output stays f32 dB).  Use for bulk
+    featurization where ~1e-2 dB deviation from the torchaudio oracle is
+    acceptable; the default f32 mode holds parity to ~2e-4 dB.
     """
     b, l = padded_waves.shape
     n_frames_total = (l - n_fft) // hop + 1
@@ -102,10 +113,15 @@ def pallas_mel_spectrogram(
     if pad_rows:
         frames = jnp.pad(frames, ((0, pad_rows), (0, 0)))
 
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    frames = frames.astype(dt)
     n_freq = n_fft // 2 + 1
-    window = jnp.asarray(F.hann_window(n_fft))[None, :]
+    window = jnp.asarray(F.hann_window(n_fft)).astype(dt)[None, :]
     cos_m, sin_m = F._rdft_matrices(n_fft)
-    fb = jnp.asarray(F.melscale_fbanks(n_freq, 0.0, 8000.0, n_mels, 16000))
+    cos_m, sin_m = cos_m.astype(dt), sin_m.astype(dt)
+    fb = jnp.asarray(
+        F.melscale_fbanks(n_freq, 0.0, 8000.0, n_mels, 16000)
+    ).astype(dt)
 
     kernel = functools.partial(_mel_kernel, amin=1e-10)
     out = pl.pallas_call(
@@ -141,10 +157,23 @@ def pallas_mel_spectrogram(
     return out[: b * n_frames_total].reshape(b, n_frames_total, n_mels)
 
 
+def _floor_dct_kernel(
+    mel_ref,  # (TILE, n_mels) un-floored mel-dB block
+    floor_ref,  # (TILE, 1) per-row top_db floor
+    dct_ref,  # (n_mels, n_mfcc)
+    out_ref,  # (TILE, n_mfcc)
+):
+    floored = jnp.maximum(mel_ref[:, :], floor_ref[:, :])
+    out_ref[:, :] = jnp.dot(
+        floored, dct_ref[:, :], precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_mfcc", "n_fft", "hop", "n_mels", "tile", "top_db",
-                     "interpret"),
+                     "bf16", "interpret"),
 )
 def pallas_mfcc(
     padded_waves: jax.Array,  # (B, L) host reflect-padded (pad = n_fft//2)
@@ -154,29 +183,59 @@ def pallas_mfcc(
     n_mels: int = 128,
     tile: int = 128,
     top_db: float = 80.0,
+    bf16: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused MFCC, (B, n_frames, n_mfcc), torchaudio-default semantics.
 
-    The top_db floor depends on the utterance-GLOBAL max of the mel-dB
-    spectrogram, so it cannot live inside the tile-local kernel: the fused
-    mel kernel produces un-floored dB, and the floor + DCT GEMM run in the
-    same jitted program (XLA fuses them with the kernel's output).
+    Two fused kernels: (1) the mel kernel producing un-floored mel-dB tiles;
+    (2) a floor+DCT kernel.  The top_db floor depends on the
+    utterance-GLOBAL max of the mel-dB spectrogram, so it cannot live inside
+    a tile-local kernel — the per-utterance max is a cheap XLA reduction
+    between the two pallas calls, broadcast back per row into kernel 2 where
+    the clamp fuses with the DCT GEMM in VMEM.
     """
     b, l = padded_waves.shape
     n_frames_total = (l - n_fft) // hop + 1
     dct = jnp.asarray(F.create_dct(n_mfcc, n_mels, "ortho"))
 
-    # pass 1: fused mel-db (reusing the mel kernel) to get the global max and
-    # the floored mel-db; pass 2 is a plain dense DCT — still one device
-    # program, XLA fuses the small DCT GEMM.
     mel_db = pallas_mel_spectrogram(
         padded_waves, n_fft=n_fft, hop=hop, n_mels=n_mels, tile=tile,
-        interpret=interpret,
+        bf16=bf16, interpret=interpret,
     )  # (B, T, n_mels) un-floored
     mel_db = mel_db[:, :n_frames_total, :]
-    if top_db is not None:
-        floor = jnp.max(mel_db, axis=(1, 2), keepdims=True) - top_db
-        mel_db = jnp.maximum(mel_db, floor)
-    return jnp.dot(mel_db, dct, precision=F.PARITY_PRECISION,
-                   preferred_element_type=jnp.float32)
+    if top_db is None:
+        return jnp.dot(mel_db, dct, precision=F.PARITY_PRECISION,
+                       preferred_element_type=jnp.float32)
+
+    floor = jnp.max(mel_db, axis=(1, 2), keepdims=True) - top_db  # (B,1,1)
+    rows = b * n_frames_total
+    n_tiles = -(-rows // tile)
+    pad_rows = n_tiles * tile - rows
+    mel_flat = mel_db.reshape(rows, n_mels)
+    floor_flat = jnp.broadcast_to(floor, (b, n_frames_total, 1)).reshape(rows, 1)
+    if pad_rows:
+        mel_flat = jnp.pad(mel_flat, ((0, pad_rows), (0, 0)))
+        floor_flat = jnp.pad(floor_flat, ((0, pad_rows), (0, 0)))
+
+    out = pl.pallas_call(
+        _floor_dct_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, n_mels), lambda t_: (t_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t_: (t_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mels, n_mfcc), lambda t_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, n_mfcc), lambda t_: (t_, 0), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, n_mfcc), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(mel_flat, floor_flat, dct)
+    return out[:rows].reshape(b, n_frames_total, n_mfcc)
