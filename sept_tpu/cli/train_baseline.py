@@ -27,7 +27,8 @@ def artifact_name(cfg) -> str:
     return f"{base}_{cfg.pred}"
 
 
-def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None):
+def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
+             resume_path=None):
     from sept_tpu.data.pipeline import batch_iterator
     from sept_tpu.models import build_backbone
     from sept_tpu.train import (
@@ -81,7 +82,8 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None):
         # mesh when one is provided)
         result = fit_device(state, model, tx, train_split, val_split,
                             fold.test, cfg, logits_fn, spk_weights=spk_w,
-                            verbose=verbose, mesh=mesh)
+                            verbose=verbose, mesh=mesh,
+                            resume_path=resume_path)
     else:
         if mesh is not None:
             print("note: --n_devices DP needs the device loop "
@@ -144,7 +146,14 @@ def main(argv=None):
             print(f"fold{k}: checkpoint exists, skipping (--resume)")
             continue
         fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
-        result = run_fold(cfg, fold, ckpt, metrics_path=metrics_path, mesh=mesh)
+        # --resume also enables mid-fold (epoch-level) checkpointing: an
+        # interrupted fold continues from its last completed epoch
+        resume_path = (
+            os.path.join(cfg.output_dir, artifact_name(cfg), f"mid_fold{k}")
+            if args.resume else None
+        )
+        result = run_fold(cfg, fold, ckpt, metrics_path=metrics_path,
+                          mesh=mesh, resume_path=resume_path)
         accs.append(result.final_test_acc)
         uars.append(result.final_test_uar)
         print(

@@ -30,7 +30,7 @@ def cloak_artifact(cfg) -> str:
     return f"{tag}_lamda{cfg.scale_lambda}_supp{cfg.suppression_ratio}"
 
 
-def run_fold(cfg, fold, ckpt, verbose=True, mesh=None):
+def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
     from sept_tpu.data.pipeline import batch_iterator
     from sept_tpu.eval.sweep import train_mask
     from sept_tpu.models import CloakedModel, CloakedModelGRL, build_backbone
@@ -146,7 +146,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None):
         result = fit_device_cloak(
             state, model, tx, fold.training, fold.validation, fold.test, cfg,
             jax.jit(eval_logits), mask=mask, spk_weights=spk_w, verbose=verbose,
-            mesh=mesh,
+            mesh=mesh, resume_path=resume_path,
         )
     else:
         if mesh is not None:
@@ -207,7 +207,11 @@ def main(argv=None):
             print(f"fold{k}: checkpoint exists, skipping (--resume)")
             continue
         fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
-        result = run_fold(cfg, fold, ckpt, mesh=mesh)
+        resume_path = (
+            os.path.join(cfg.output_dir, cloak_artifact(cfg), f"mid_fold{k}")
+            if args.resume else None
+        )
+        result = run_fold(cfg, fold, ckpt, mesh=mesh, resume_path=resume_path)
         accs.append(result.final_test_acc)
         uars.append(result.final_test_uar)
         print(

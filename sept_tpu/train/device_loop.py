@@ -88,6 +88,38 @@ def _masked_uar(truth: np.ndarray, preds: np.ndarray, valid: np.ndarray):
     return M.accuracy(t, p), M.uar(t, p)
 
 
+def _loop_snapshot(epoch, best_val_acc, best_epoch, early, plateau, final,
+                   history):
+    """Host bookkeeping -> JSON-able dict (see train.midfold)."""
+    from sept_tpu.train.checkpoint import _jsonable
+
+    return _jsonable({
+        "epoch": epoch, "best_val_acc": best_val_acc, "best_epoch": best_epoch,
+        "early_best": early.best, "early_counter": early.counter,
+        "early_stop": early.should_stop,
+        "plateau_best": plateau.best, "plateau_bad": plateau.bad_epochs,
+        "plateau_scale": plateau.scale,
+        "final": {"acc": final["acc"], "uar": final["uar"],
+                  "conf": np.asarray(final["conf"]).tolist()},
+        "history": history,
+    })
+
+
+def _loop_restore(loop, early, plateau):
+    """Inverse of _loop_snapshot; returns (start_epoch, best_val_acc,
+    best_epoch, final, history)."""
+    early.best = loop["early_best"]
+    early.counter = loop["early_counter"]
+    early.should_stop = loop["early_stop"]
+    plateau.best = loop["plateau_best"]
+    plateau.bad_epochs = loop["plateau_bad"]
+    plateau.scale = loop["plateau_scale"]
+    final = {"acc": loop["final"]["acc"], "uar": loop["final"]["uar"],
+             "conf": np.asarray(loop["final"]["conf"])}
+    return (loop["epoch"] + 1, loop["best_val_acc"], loop["best_epoch"],
+            final, loop["history"])
+
+
 def make_val_pass(apply_logits):
     """Scanned whole-split validation pass: one device program, but peak
     activation memory bounded by batch_size (the split is processed
@@ -133,6 +165,7 @@ def fit_device(
     spk_weights: Optional[dict] = None,
     verbose: bool = True,
     mesh=None,
+    resume_path: Optional[str] = None,
 ) -> FitResult:
     """loop.fit with scanned device epochs (baseline/adversary workloads).
 
@@ -140,6 +173,11 @@ def fit_device(
     state + splits, sharded batches, psum gradients over ICI —
     sept_tpu.parallel.epoch_dp).  The model should use sync-BN
     (``bn_axis_name='data'``) for exact single-device equivalence.
+
+    ``resume_path``: mid-fold checkpoint directory (train.midfold): the full
+    training state + loop bookkeeping persist after every epoch, and an
+    interrupted fold resumes from the next epoch (identical shuffle stream);
+    deleted automatically when the fold completes.
     """
     label_key = "labels_gen" if cfg.pred == "gender" else "labels_emo"
     extra = None
@@ -177,7 +215,32 @@ def fit_device(
     final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
     history = []
     m_total = train_ds.n_batches * train_ds.batch_size
-    for epoch in range(cfg.num_epochs):
+
+    mid = None
+    if resume_path:
+        from sept_tpu.train.midfold import MidFoldCheckpoint
+
+        mid = MidFoldCheckpoint(resume_path)
+    start_epoch = 0
+    if mid is not None and mid.exists():
+        state, best_loaded, loop = mid.restore(like=state)
+        if mesh is not None:
+            from sept_tpu.parallel.epoch_dp import put_replicated
+
+            state = put_replicated(state, mesh)
+            best_loaded = (put_replicated(best_loaded, mesh)
+                           if best_loaded is not None else None)
+        start_epoch, best_val_acc, best_epoch, final, history = _loop_restore(
+            loop, early, plateau
+        )
+        if best_loaded is not None:
+            best_state = best_loaded
+        for _ in range(start_epoch):  # replay the shuffle stream
+            rng.permutation(m_total)
+        if verbose:
+            print(f"mid-fold resume: continuing at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.num_epochs):
         order = jnp.asarray(rng.permutation(m_total))
         state, losses, correct, counts = run_epoch(
             state, train_ds.windows, train_ds.labels, train_ds.weights, order,
@@ -217,11 +280,18 @@ def fit_device(
                 f" uar {test_m['uar']:.3f}"
             )
         stop_allowed = cfg.optimizer != "sgd" or cfg.early_stop_with_sgd
-        if epoch >= min_sel and early(val_loss) and stop_allowed:
+        should_stop = epoch >= min_sel and early(val_loss) and stop_allowed
+        if mid is not None and not should_stop:
+            mid.save(state, best_state, _loop_snapshot(
+                epoch, best_val_acc, best_epoch, early, plateau, final, history
+            ))
+        if should_stop:
             if verbose:
                 print("early stopping")
             break
 
+    if mid is not None:
+        mid.delete()  # fold complete: the final artifact supersedes it
     return FitResult(
         best_state=best_state,
         best_epoch=best_epoch,
@@ -246,12 +316,14 @@ def fit_device_cloak(
     spk_weights: Optional[dict] = None,
     verbose: bool = True,
     mesh=None,
+    resume_path: Optional[str] = None,
 ) -> FitResult:
     """Device-resident cloak / cloak+GRL training with scanned epochs.
 
     ``eval_logits_fn(params, batch_stats, spec, global) -> emotion logits``
     should run the cloak forward with a fixed noise key (as the CLIs build).
     ``mesh``: data-parallel scanned epochs (see fit_device).
+    ``resume_path``: mid-fold epoch-level checkpoint/resume (see fit_device).
     """
     extra = None
     if spk_weights is not None:
@@ -300,7 +372,30 @@ def fit_device_cloak(
     final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
     history = []
     m_total = train_ds.n_batches * train_ds.batch_size
-    for epoch in range(cfg.num_epochs):
+
+    mid = None
+    if resume_path:
+        from sept_tpu.train.midfold import MidFoldCheckpoint
+
+        mid = MidFoldCheckpoint(resume_path)
+    start_epoch = 0
+    if mid is not None and mid.exists():
+        state, best_loaded, loop = mid.restore(like=state)
+        if mesh is not None:
+            state = put_replicated(state, mesh)
+            best_loaded = (put_replicated(best_loaded, mesh)
+                           if best_loaded is not None else None)
+        start_epoch, best_val_acc, best_epoch, final, history = _loop_restore(
+            loop, early, plateau
+        )
+        if best_loaded is not None:
+            best_state = best_loaded
+        for _ in range(start_epoch):
+            rng.permutation(m_total)
+        if verbose:
+            print(f"mid-fold resume: continuing at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.num_epochs):
         order = jnp.asarray(rng.permutation(m_total))
         state, losses, correct, counts = run_epoch(
             state, train_ds.windows, train_ds.labels_emo, train_ds.labels_gen,
@@ -337,11 +432,18 @@ def fit_device_cloak(
                 f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
                 f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
             )
-        if epoch >= min_sel and early(val_loss):
+        should_stop = epoch >= min_sel and early(val_loss)
+        if mid is not None and not should_stop:
+            mid.save(state, best_state, _loop_snapshot(
+                epoch, best_val_acc, best_epoch, early, plateau, final, history
+            ))
+        if should_stop:
             if verbose:
                 print("early stopping")
             break
 
+    if mid is not None:
+        mid.delete()
     return FitResult(
         best_state=best_state, best_epoch=best_epoch, best_val_acc=best_val_acc,
         final_test_acc=final["acc"], final_test_uar=final["uar"],
