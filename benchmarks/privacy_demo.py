@@ -58,6 +58,10 @@ def main():
         "--optimizer", "adam", "--learning_rate", "1e-2",
         "--grl_lambda", "1.0", "--gender_lambda", "1.0",
         "--antithetic", "1", "--saliency_align", "5.0",
+        # the sigma map needs the full epoch budget to differentiate; val-loss
+        # early stopping (tuned for classifier training) cuts it short on
+        # some folds and collapses the suppression masks toward random
+        "--early_stop_patience", "100",
     ]
     eval_args = ["--grl", "1", "--scale_lamda", "1.0",
                  "--grl_lambda", "1.0", "--gender_lambda", "1.0"]

@@ -83,6 +83,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--saliency_align", type=float, default=0.0,
                    help="saliency-aligned scale shaping weight for the GRL "
                         "cloak (0 = reference loss)")
+    p.add_argument("--early_stop_patience", type=int, default=None,
+                   help="val-loss early-stopping patience (default: config "
+                        "preset; large value disables)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="data-parallel device count: 0 = auto (all devices "
                         "on an accelerator backend, 1 on CPU), N = force an "
@@ -174,6 +177,8 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
     )
     if args.learning_rate is not None:
         cfg.learning_rate = args.learning_rate
+    if getattr(args, "early_stop_patience", None) is not None:
+        cfg.early_stop_patience = args.early_stop_patience
     for k, v in overrides.items():
         setattr(cfg, k, v)
     return cfg
