@@ -67,7 +67,11 @@ def main():
                  "--grl_lambda", "1.0", "--gender_lambda", "1.0"]
 
     print("== featurize ==", flush=True)
-    featurize.main(base + ["--n_speakers", "20", "--utts_per_speaker", "16"])
+    # --functionals 0: the demo trains with global_feature=0, so skip the
+    # gemaps/emobase extraction (each bucket shape costs a minutes-long
+    # compile over the tunneled chip)
+    featurize.main(base + ["--n_speakers", "20", "--utts_per_speaker", "16",
+                           "--functionals", "0"])
     print("== preprocess (5 folds) ==", flush=True)
     preprocess.main(base)
     print("== SER baseline (5 folds) ==", flush=True)

@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("--n_speakers", type=int, default=10,
                    help="synthetic corpus size")
     p.add_argument("--utts_per_speaker", type=int, default=12)
+    p.add_argument("--functionals", type=int, default=1,
+                   help="also extract the 88-dim gemaps + 988-dim emobase "
+                        "functionals (reference extracts both alongside the "
+                        "spectral features, audio_feature_extraction.py:188-189); "
+                        "0 skips them for runs that train with global_feature=0")
     args = p.parse_args(argv)
     setup_seed(args.seed)
 
@@ -56,6 +61,7 @@ def main(argv=None):
         waveforms,
         feature_type=args.feature_type,
         feature_len=args.input_spec_size,
+        include_gemaps=bool(args.functionals),
     )
 
     out_dir = os.path.join(args.work_dir, "feature", args.feature_type, args.dataset)

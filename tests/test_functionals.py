@@ -183,6 +183,45 @@ class TestEmobase:
         f0_dim = 4 * 19 + 5
         assert f[:, f0_dim].mean() > m[:, f0_dim].mean() + 30.0
 
+    def test_egemaps_probe_signal(self):
+        """The 88-dim eGeMAPS vector must carry DOWNSTREAM signal, not just a
+        sensitive F0 dim: a linear probe on z-normed vectors must recover
+        gender on held-out speakers well above chance, mirroring the one
+        place the reference consumes them — the ``global_feature=1`` concat
+        (/root/reference/model/baseline_models.py:208,244-245)."""
+        from sept_tpu.data.synthetic import make_corpus
+        from sept_tpu.ops.egemaps import egemaps_functionals_batch
+
+        corpus = make_corpus(n_speakers=10, utts_per_speaker=6, seed=8)
+        waves = {u.utt_id: corpus.wave(u.utt_id) for u in corpus.manifest}
+        vecs = egemaps_functionals_batch(waves)
+
+        X, y, spk = [], [], []
+        for u in corpus.manifest:
+            X.append(vecs[u.utt_id])
+            y.append(1.0 if u.gender == "F" else 0.0)
+            spk.append(u.speaker_id)
+        X = np.stack(X).astype(np.float64)
+        y = np.asarray(y)
+        spk = np.asarray(spk)
+        X = (X - X.mean(0)) / (X.std(0) + 1e-8)
+
+        # speaker-disjoint split: last 4 speakers held out
+        test_spk = set(sorted(set(spk))[-4:])
+        tr = np.asarray([s not in test_spk for s in spk])
+        te = ~tr
+
+        # logistic probe, plain gradient descent
+        w = np.zeros(X.shape[1])
+        b = 0.0
+        for _ in range(400):
+            p = 1.0 / (1.0 + np.exp(-(X[tr] @ w + b)))
+            g = X[tr].T @ (p - y[tr]) / tr.sum()
+            w -= 0.5 * (g + 1e-3 * w)
+            b -= 0.5 * float(np.mean(p - y[tr]))
+        acc = float(np.mean((X[te] @ w + b > 0) == (y[te] > 0.5)))
+        assert acc >= 0.9, f"held-out gender probe accuracy {acc}"
+
     def test_store_schema_includes_emobase(self):
         from sept_tpu.data.featurize import featurize_corpus
         from sept_tpu.data.synthetic import make_corpus
