@@ -21,3 +21,28 @@ def test_help_exits_zero(mod, capsys):
     assert e.value.code == 0
     out = capsys.readouterr().out
     assert "--dataset" in out
+
+
+def test_featurize_functionals_flag(tmp_path):
+    """--functionals 0 skips the gemaps/emobase extraction; preprocess still
+    assembles folds (global features fall back to zeros,
+    data/pipeline.py:142)."""
+    import numpy as np
+
+    from sept_tpu.data.store import load_feature_store
+
+    args = ["--dataset", "synthetic", "--work_dir", str(tmp_path),
+            "--input_spec_size", "32", "--seed", "8"]
+    featurize.main(args + ["--n_speakers", "4", "--utts_per_speaker", "2",
+                           "--functionals", "0"])
+    store = load_feature_store(
+        str(tmp_path / "feature" / "mel_spec" / "synthetic" / "data_32.npz")
+    )
+    utt = next(iter(store.values()))
+    assert "mel1" in utt and "gemaps" not in utt and "emobase" not in utt
+
+    preprocess.main(args + ["--win_len", "50", "--input_spec_size", "32"])
+    from sept_tpu.data.store import load_fold
+
+    fold = load_fold(str(tmp_path / "folds" / "synthetic" / "fold1.npz"))
+    assert np.all(fold.training.global_data == 0.0)
