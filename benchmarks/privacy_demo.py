@@ -19,8 +19,10 @@ in the AM-modulated noise floor):
 Cloak training uses the framework's variance-reduction extensions
 (--antithetic, --saliency_align; sept_tpu.train.steps) — the reference's
 single-draw sigma estimator leaves the scales uniform at this problem size,
-so its percentile masks would be random cell deletion.  The EVALUATION
-protocol is the reference's, unmodified.
+so its percentile masks would be random cell deletion — and trains the
+ratio-matched cloaks under the evaluation-direction mask
+(--mask_direction eval) so the locs are optimized for exactly the cells the
+sweep replaces.  The EVALUATION protocol is the reference's, unmodified.
 
 Success direction: adversary (gender) UAR driven to chance (0.5) at some
 ratio while emotion UAR retains most of its clean value.
@@ -58,6 +60,11 @@ def main():
         "--optimizer", "adam", "--learning_rate", "1e-2",
         "--grl_lambda", "1.0", "--gender_lambda", "1.0",
         "--antithetic", "1", "--saliency_align", "5.0",
+        # train the ratio-matched cloaks under the SAME percentile mask the
+        # evaluation sweep applies (the reference trains top-r% but evaluates
+        # top-(100-r)%, quirk 8 — its locs are untrained in most of the cells
+        # the sweep replaces); evaluation itself stays reference-exact
+        "--mask_direction", "eval",
         # the sigma map needs the full epoch budget to differentiate; val-loss
         # early stopping (tuned for classifier training) cuts it short on
         # some folds and collapses the suppression masks toward random

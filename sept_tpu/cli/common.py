@@ -83,6 +83,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--saliency_align", type=float, default=0.0,
                    help="saliency-aligned scale shaping weight for the GRL "
                         "cloak (0 = reference loss)")
+    p.add_argument("--mask_direction", choices=("train", "eval"),
+                   default="train",
+                   help="suppression-mask direction during ratio-matched "
+                        "cloak training: 'train' = reference "
+                        "(training_cloak.py:364-371, mismatched with the "
+                        "eval sweep), 'eval' = the mask the sweep applies")
     p.add_argument("--early_stop_patience", type=int, default=None,
                    help="val-loss early-stopping patience (default: config "
                         "preset; large value disables)")
@@ -172,6 +178,7 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
         gender_lambda=args.gender_lambda,
         antithetic_noise=bool(getattr(args, "antithetic", 0)),
         saliency_align=float(getattr(args, "saliency_align", 0.0)),
+        mask_direction=getattr(args, "mask_direction", "train"),
         seed=args.seed,
         output_dir=args.output_dir,
     )

@@ -9,7 +9,10 @@ Loads the frozen pretrained baseline (trained by cli.train_baseline), wraps
 it with the CloakNoise layer (and, for GRL, a fresh trainable gender
 adversary), and trains ONLY the cloak-trainable partition.  Suppression runs
 (--suppression_ratio > 0) load the suppression_0 cloak, freeze rhos, and
-apply the training-direction percentile mask (training_cloak.py:364-371).
+apply the training-direction percentile mask (training_cloak.py:364-371);
+--mask_direction eval trains under the evaluation sweep's mask instead
+(fixes the reference's quirk-8 train/eval mismatch — see
+sept_tpu.eval.sweep.train_mask/eval_mask).
 Artifacts: ``cloak[_grl]_<scale_lamda>_supp<r>/fold<k>``.
 """
 
@@ -32,7 +35,7 @@ def cloak_artifact(cfg) -> str:
 
 def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
     from sept_tpu.data.pipeline import batch_iterator
-    from sept_tpu.eval.sweep import train_mask
+    from sept_tpu.eval.sweep import eval_mask, train_mask
     from sept_tpu.models import CloakedModel, CloakedModelGRL, build_backbone
     from sept_tpu.train import (
         TrainState,
@@ -99,7 +102,8 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         supp0 = ckpt.restore(base_art, fold.fold)
         params["noise"] = supp0["params"]["noise"]
         scales = np.asarray(cloak_scales(model, params))
-        mask = jnp.asarray(train_mask(scales, cfg.suppression_ratio))
+        mask_fn = eval_mask if cfg.mask_direction == "eval" else train_mask
+        mask = jnp.asarray(mask_fn(scales, cfg.suppression_ratio))
 
     steps_per_epoch = max(1, len(fold.training) // cfg.batch_size)
     tx = make_cloak_optimizer(

@@ -73,6 +73,14 @@ class ExperimentConfig:
     # first-order saliency-aligned scale shaping for the GRL game (framework
     # extension, steps.saliency_alignment_loss); 0 = reference behavior
     saliency_align: float = 0.0
+    # percentile-mask direction for ratio-matched cloak TRAINING.  The
+    # reference trains suppression-r cloaks replacing the top-r% noisiest
+    # cells (training_cloak.py:364-371) but EVALUATES them replacing the
+    # top-(100-r)% (adversary_cloak_evaluation.py:262-267) — a train/eval
+    # mismatch that leaves the locs untrained in most eval-replaced cells.
+    # "train" = reference behavior; "eval" = train under the same mask the
+    # sweep will apply (framework extension; evaluation is unchanged).
+    mask_direction: str = "train"
 
     # infra
     seed: int = 8

@@ -54,3 +54,17 @@ def test_mask_directions_differ():
     # both zero the HIGHEST-scale cells
     assert tm[9, 9] == 0 and em[9, 9] == 0
     assert tm[0, 0] == 1 and em[0, 0] == 1
+
+
+def test_mask_direction_flag_plumbs():
+    """--mask_direction selects the training-mask convention (default =
+    reference's train direction; 'eval' trains under the sweep's mask)."""
+    import argparse
+
+    from sept_tpu.cli.common import add_common_args, config_from_args
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    cfg = config_from_args(p.parse_args(["--mask_direction", "eval"]))
+    assert cfg.mask_direction == "eval"
+    assert config_from_args(p.parse_args([])).mask_direction == "train"
