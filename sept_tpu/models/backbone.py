@@ -52,102 +52,13 @@ NUM_EMO_CLASSES = 4  # neu / hap / sad / ang (utils/training_tools.py:9)
 NUM_GENDER_CLASSES = 2  # F / M (utils/training_tools.py:10)
 
 
-class _DenseParams(nn.Module):
-    """Bare kernel(+bias) container mirroring ``nn.Dense``'s param layout."""
-
-    shape: tuple
-    use_bias: bool
-    kernel_init: jax.nn.initializers.Initializer
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", self.kernel_init, self.shape)
-        b = (
-            self.param("bias", nn.initializers.zeros_init(), (self.shape[-1],))
-            if self.use_bias
-            else None
-        )
-        return k, b
-
-
-class _GRUParams(nn.Module):
-    """Parameter container with EXACTLY ``nn.GRUCell``'s tree: gates
-    ir/iz/in (kernel (F, H) lecun_normal + bias) and hr/hz/hn (kernel (H, H)
-    orthogonal; bias on hn only).  Same names, shapes, and initializers as
-    the ``nn.RNN(nn.GRUCell)`` path, so checkpoints (and flax's path-keyed
-    param init values) are interchangeable between the fused and cell-based
-    executions."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        lecun = nn.initializers.lecun_normal()
-        orth = nn.initializers.orthogonal()
-        p = {}
-        for n in ("ir", "iz", "in"):
-            p[n] = _DenseParams(
-                (self.in_features, self.features), True, lecun, name=n
-            )()
-        for n, bias in (("hr", False), ("hz", False), ("hn", True)):
-            p[n] = _DenseParams((self.features, self.features), bias, orth,
-                                name=n)()
-        return p
-
-
-def _fused_gru_dir(p, xs, reverse, dtype):
-    """One GRU direction with the input projections hoisted out of the scan.
-
-    ``nn.RNN(nn.GRUCell)`` computes three (B, F) @ (F, H) input GEMMs inside
-    every scan step — at B=32 the MXU runs quarter-empty 128-tiles.  Here the
-    whole sequence's input projections run as three (B*T, F) @ (F, H) GEMMs
-    up front and the scan body keeps only the (B, H) @ (H, H) recurrence —
-    identical math (flax recurrent.py GRUCell definition), measured ~2x
-    faster per training epoch on v5e.
-    """
-    cdt = dtype or xs.dtype
-    x = xs.astype(cdt)
-
-    def kb(name):
-        k, b = p[name]
-        return k.astype(cdt), None if b is None else b.astype(cdt)
-
-    (kir, bir), (kiz, biz), (kin, bin_) = kb("ir"), kb("iz"), kb("in")
-    (khr, _), (khz, _), (khn, bhn) = kb("hr"), kb("hz"), kb("hn")
-    xr = jnp.swapaxes(x @ kir + bir, 0, 1)  # (T, B, H)
-    xz = jnp.swapaxes(x @ kiz + biz, 0, 1)
-    xn = jnp.swapaxes(x @ kin + bin_, 0, 1)
-    if reverse:
-        xr, xz, xn = jnp.flip(xr, 0), jnp.flip(xz, 0), jnp.flip(xn, 0)
-    h0 = jnp.zeros((xs.shape[0], khr.shape[0]), cdt)
-
-    def step(h, gates):
-        gr, gz, gn = gates
-        r = nn.sigmoid(gr + h @ khr)
-        z = nn.sigmoid(gz + h @ khz)
-        n = jnp.tanh(gn + r * (h @ khn + bhn))
-        h = (1.0 - z) * n + z * h
-        return h, h
-
-    _, hs = jax.lax.scan(step, h0, (xr, xz, xn))
-    if reverse:
-        hs = jnp.flip(hs, 0)
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
-
-
 class StackedBiRNN(nn.Module):
     """Multi-layer bidirectional GRU/LSTM over (B, T, F) sequences.
 
     Equivalent of ``nn.GRU(..., num_layers=2, bidirectional=True,
     dropout=0.2)`` (baseline_models.py:191-193): inter-layer dropout on every
-    layer's output except the last.  The GRU default is the fused execution
-    (input projections as whole-sequence GEMMs, scan keeps only the
-    recurrence — see ``_fused_gru_dir``); ``fused=False`` or
-    ``cell_type='lstm'`` uses ``nn.RNN`` cells (lax.scan under jit — static
-    T, compiler-friendly).  Both share one param tree (``GRUCell_<k>`` in
-    layer-major fwd/bwd order), so the flag can be flipped on a trained
-    checkpoint.
+    layer's output except the last.  Uses ``nn.RNN`` (lax.scan under jit —
+    static T, compiler-friendly).
     """
 
     hidden_size: int
@@ -155,29 +66,9 @@ class StackedBiRNN(nn.Module):
     cell_type: str = "gru"
     dropout_rate: float = 0.2
     dtype: Optional[jnp.dtype] = None
-    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        if self.cell_type == "gru" and self.fused:
-            idx = 0
-            for layer in range(self.num_layers):
-                p_fwd = _GRUParams(x.shape[-1], self.hidden_size,
-                                   name=f"GRUCell_{idx}")()
-                p_bwd = _GRUParams(x.shape[-1], self.hidden_size,
-                                   name=f"GRUCell_{idx + 1}")()
-                idx += 2
-                x = jnp.concatenate(
-                    [
-                        _fused_gru_dir(p_fwd, x, False, self.dtype),
-                        _fused_gru_dir(p_bwd, x, True, self.dtype),
-                    ],
-                    axis=-1,
-                )
-                if layer < self.num_layers - 1:
-                    x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-            return x  # (B, T, 2*hidden)
-
         if self.cell_type == "gru":
             make_cell = lambda: nn.GRUCell(  # noqa: E731
                 features=self.hidden_size, dtype=self.dtype)

@@ -3,7 +3,6 @@
 Reference semantics: /root/reference/model/{baseline_models,cloak_models}.py.
 """
 
-import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -250,45 +249,3 @@ def test_bf16_and_remat_modes():
     g2 = jax.grad(lambda p: loss(m_remat, p))(v32["params"])
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-
-
-class TestFusedBiGRU:
-    """The fused GRU (whole-sequence input-projection GEMMs, recurrence-only
-    scan) must be a drop-in for the nn.RNN(nn.GRUCell) execution: same param
-    tree, same path-keyed init values, same outputs."""
-
-    def _modules(self):
-        from sept_tpu.models.backbone import StackedBiRNN
-
-        return (
-            StackedBiRNN(hidden_size=16, num_layers=2, fused=False),
-            StackedBiRNN(hidden_size=16, num_layers=2, fused=True),
-        )
-
-    def test_param_tree_and_init_match(self):
-        ref, fus = self._modules()
-        x = jax.random.normal(jax.random.PRNGKey(1), (4, 25, 48))
-        v_ref = ref.init({"params": KEY}, x)
-        v_fus = fus.init({"params": KEY}, x)
-        assert jax.tree_util.tree_structure(v_ref) == jax.tree_util.tree_structure(v_fus)
-        chex.assert_trees_all_close(v_ref, v_fus, atol=0)
-
-    def test_outputs_match_cell_path(self):
-        ref, fus = self._modules()
-        x = jax.random.normal(jax.random.PRNGKey(1), (4, 25, 48))
-        v = ref.init({"params": KEY}, x)
-        y_ref = ref.apply(v, x)
-        y_fus = fus.apply(v, x)  # same params through the fused path
-        chex.assert_trees_all_close(y_ref, y_fus, atol=1e-6)
-
-    def test_gradients_match_cell_path(self):
-        ref, fus = self._modules()
-        x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 12))
-        v = ref.init({"params": KEY}, x)
-
-        def loss(mod):
-            return lambda p: jnp.sum(mod.apply({"params": p}, x) ** 2)
-
-        g_ref = jax.grad(loss(ref))(v["params"])
-        g_fus = jax.grad(loss(fus))(v["params"])
-        chex.assert_trees_all_close(g_ref, g_fus, atol=1e-5)
