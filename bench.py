@@ -103,17 +103,15 @@ def main():
     _, t_feat_bf16 = timed_ingest("pallas_bf16")
 
     # ---- timed: functional featurization (gemaps + emobase), warm ----
-    from sept_tpu.ops.egemaps import egemaps_functionals_batch
-    from sept_tpu.ops.emobase import emobase_functionals_batch
+    # the production path: one device program computes both sets per chunk
+    from sept_tpu.ops.emobase import combined_functionals_batch
 
     sub = {k: waves[k] for k in list(waves)[:128]}
-    egemaps_functionals_batch(sub)
-    emobase_functionals_batch(sub)  # warm the (one) bucket shape
+    combined_functionals_batch(sub)  # warm the (one) bucket shape
     t_func = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        egemaps_functionals_batch(waves)
-        emobase_functionals_batch(waves)
+        combined_functionals_batch(waves)
         t_func = min(t_func, time.perf_counter() - t0)
 
     # ---- model setup (slow-transfer mode starts here; all remaining

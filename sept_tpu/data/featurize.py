@@ -163,13 +163,21 @@ def featurize_corpus(
                     t = feature_frames(lengths[i], _MFCC_HOP)
                     store[utt_ids[i]]["mfcc"] = out[row, :, :t]
 
-    if include_gemaps:
+    if include_gemaps and include_emobase:
+        # one device program per chunk: shared STFT, half the wave uploads
+        from sept_tpu.ops.emobase import combined_functionals_batch
+
+        gemaps, emobase = combined_functionals_batch(waveforms)
+        for u in utt_ids:
+            store[u]["gemaps"] = gemaps[u]
+            store[u]["emobase"] = emobase[u]
+    elif include_gemaps:
         from sept_tpu.ops.egemaps import egemaps_functionals_batch
 
         gemaps = egemaps_functionals_batch(waveforms)
         for u in utt_ids:
             store[u]["gemaps"] = gemaps[u]
-    if include_emobase:
+    elif include_emobase:
         from sept_tpu.ops.emobase import emobase_functionals_batch
 
         emobase = emobase_functionals_batch(waveforms)

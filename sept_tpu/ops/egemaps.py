@@ -327,28 +327,15 @@ def egemaps_functionals_batch(
     reduction never returns per-frame data to host — only the (B, 88)
     vectors come back.
     """
-    utt_ids = list(waveforms)
-    lengths = [len(waveforms[u]) for u in utt_ids]
     out: dict[str, np.ndarray] = {}
-    for bucket_len, idxs in sorted(FN.bucket_indices(lengths, quantum).items()):
-        for lo in range(0, len(idxs), batch_size):
-            chunk = idxs[lo : lo + batch_size]
-            # pow2 row padding: chunk shapes come from a small closed set so
-            # partial chunks never compile fresh executables
-            b = FN.pow2_rows(len(chunk), batch_size)
-            W = np.zeros((b, bucket_len), np.float32)
-            ts = np.ones(b, np.int32)
-            ns = np.ones(b, np.int32)
-            for row, i in enumerate(chunk):
-                w = waveforms[utt_ids[i]]
-                W[row, : len(w)] = w
-                ts[row] = _n_frames(len(w))
-                ns[row] = len(w)
-            vecs = np.asarray(
-                _gemaps_batch(jnp.asarray(W), jnp.asarray(ts), jnp.asarray(ns))
-            )
-            for row, i in enumerate(chunk):
-                out[utt_ids[i]] = vecs[row]
+    for ids, W, ts, ns in FN.chunked_wave_batches(
+        waveforms, quantum, batch_size, _n_frames
+    ):
+        vecs = np.asarray(
+            _gemaps_batch(jnp.asarray(W), jnp.asarray(ts), jnp.asarray(ns))
+        )
+        for row, u in enumerate(ids):
+            out[u] = vecs[row]
     return out
 
 

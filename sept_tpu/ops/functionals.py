@@ -17,9 +17,11 @@ interpolation; std/skewness/kurtosis are population moments (np defaults).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "bucket_indices",
+    "chunked_wave_batches",
     "pow2_rows",
     "frame_mask",
     "masked_mean",
@@ -233,3 +235,28 @@ def diff_stats(x, n_valid):
         0.0,
     )
     return rise, fall, mu, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+def chunked_wave_batches(waveforms, quantum, batch_size, n_frames_fn):
+    """Yield (utt_ids, W, ts, ns) padded host chunks for device featurizing.
+
+    Shared driver for the functional-feature batch extractors: buckets by
+    padded length (one jit shape each), chunks to power-of-two row counts,
+    zero-pads, and reports per-row frame/sample counts.  Padded rows carry
+    frame count 1 and are dropped by the caller.
+    """
+    utt_ids = list(waveforms)
+    lengths = [len(waveforms[u]) for u in utt_ids]
+    for bucket_len, idxs in sorted(bucket_indices(lengths, quantum).items()):
+        for lo in range(0, len(idxs), batch_size):
+            chunk = idxs[lo : lo + batch_size]
+            rows = pow2_rows(len(chunk), batch_size)
+            W = np.zeros((rows, bucket_len), np.float32)
+            ts = np.ones(rows, np.int32)
+            ns = np.ones(rows, np.int32)
+            for row, i in enumerate(chunk):
+                w = waveforms[utt_ids[i]]
+                W[row, : len(w)] = w
+                ts[row] = n_frames_fn(len(w))
+                ns[row] = len(w)
+            yield [utt_ids[i] for i in chunk], W, ts, ns

@@ -232,3 +232,26 @@ class TestEmobase:
         for u in waves:
             assert store[u]["gemaps"].shape == (88,)
             assert store[u]["emobase"].shape == (988,)
+
+
+def test_combined_batch_matches_separate_paths():
+    """combined_functionals_batch (one device program, shared STFT) must
+    return exactly what the separate egemaps/emobase batch extractors do."""
+    from sept_tpu.ops.egemaps import egemaps_functionals_batch
+    from sept_tpu.ops.emobase import (
+        combined_functionals_batch,
+        emobase_functionals_batch,
+    )
+
+    rng = np.random.default_rng(8)
+    waves = {
+        f"u{i}": rng.standard_normal(7000 + 2500 * i).astype(np.float32)
+        for i in range(3)
+    }
+    gem, emo = combined_functionals_batch(waves)
+    gem_ref = egemaps_functionals_batch(waves)
+    emo_ref = emobase_functionals_batch(waves)
+    for u in waves:
+        np.testing.assert_allclose(gem[u], gem_ref[u], atol=1e-5)
+        np.testing.assert_allclose(emo[u], emo_ref[u], atol=1e-5)
+        assert gem[u].shape == (88,) and emo[u].shape == (988,)
