@@ -62,17 +62,18 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
         k: jnp.asarray(v) for k, v in sample.items()
         if k not in ("speaker_ids", "datasets")
     }
-    state = init_state(
-        model, tx, jax.random.PRNGKey(cfg.seed), sample, use_global=cfg.global_feature
-    )
-    step = make_baseline_step(model, tx, use_global=cfg.global_feature)
     pooling = None if "deep" in cfg.model_type else "mean"
+    state = init_state(
+        model, tx, jax.random.PRNGKey(cfg.seed), sample,
+        use_global=cfg.global_feature, pooling=pooling,
+    )
+    step = make_baseline_step(model, tx, use_global=cfg.global_feature,
+                              pooling=pooling)
     logits_fn = make_eval_logits_fn(model, use_global=cfg.global_feature,
                                     pooling=pooling)
     spk_w = speaker_weights(train_split) if "combine" in cfg.dataset else None
     use_device_loop = (
-        not cfg.global_feature
-        and cfg.pred in ("emotion", "gender")
+        cfg.pred in ("emotion", "gender")
         # scan compile is slow on CPU; an explicit mesh overrides (tests /
         # forced --n_devices on the virtual CPU mesh)
         and (jax.default_backend() != "cpu" or mesh is not None)
@@ -87,8 +88,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
     else:
         if mesh is not None:
             print("note: --n_devices DP needs the device loop "
-                  "(single-task pred, no global feature); training "
-                  "single-device")
+                  "(single-task pred); training single-device")
         result = fit(state, step, logits_fn, train_split, val_split,
                      fold.test, cfg, spk_weights=spk_w, verbose=verbose)
     if metrics_path:

@@ -62,18 +62,23 @@ def _order_spec(mesh: Mesh, axis: str):
     )
 
 
-def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data"):
+def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
+                         use_global: bool = False,
+                         pooling: Optional[str] = "mean"):
     """DP form of sept_tpu.train.steps.make_epoch_runner.
 
     ``run(state, windows (M,T,D), labels (M,), weights (M,), order (M,),
-    n_batches, batch_size) -> (state, losses, correct, counts)`` — same
-    call signature, state and metrics replicated on return.
+    n_batches, batch_size[, globals_ (M,88)]) -> (state, losses, correct,
+    counts)`` — same call signature, state and metrics replicated on
+    return.  With ``use_global`` the replicated per-window global-feature
+    rows are gathered alongside each shard's batch rows.
     """
     n_dev = mesh.devices.size
 
-    def local_epoch(state, windows, labels, weights, order):
+    def local_epoch(state, windows, labels, weights, order, globals_):
         def body(st, idx):  # idx: (batch/n_dev,) this shard's rows
             spec = windows[idx][..., None]
+            g = globals_[idx] if use_global else None
             lab, w = labels[idx], weights[idx]
             rng, d_rng = jax.random.split(st.rng)
             denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1e-8)
@@ -81,7 +86,9 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data"):
             def loss_fn(params):
                 out, mut = model.apply(
                     {"params": params, "batch_stats": st.batch_stats},
-                    spec, train=True, rngs={"dropout": d_rng},
+                    spec, global_feature=g, train=True,
+                    pooling=pooling,
+                    rngs={"dropout": d_rng},
                     mutable=["batch_stats"],
                 )
                 return _weighted_nll(out, lab, w) / denom, (out, mut)
@@ -114,12 +121,13 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data"):
     mapped = jax.jit(jax.shard_map(
         local_epoch,
         mesh=mesh,
-        in_specs=_order_spec(mesh, axis),
+        in_specs=_order_spec(mesh, axis) + (P(),),  # globals: replicated
         out_specs=(state_spec, P(), P(), P()),
         check_vma=False,
     ))
 
-    def run(state, windows, labels, weights, order, *, n_batches, batch_size):
+    def run(state, windows, labels, weights, order, *, n_batches, batch_size,
+            globals_=None):
         if batch_size % n_dev:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by {n_dev} devices"
@@ -128,7 +136,9 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data"):
             jnp.reshape(order[: n_batches * batch_size], (n_batches, batch_size)),
             NamedSharding(mesh, P(None, axis)),
         )
-        return mapped(state, windows, labels, weights, order2)
+        if globals_ is None:  # unused placeholder keeping the specs fixed
+            globals_ = jnp.zeros((windows.shape[0], 1), windows.dtype)
+        return mapped(state, windows, labels, weights, order2, globals_)
 
     return run
 

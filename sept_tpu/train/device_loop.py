@@ -9,10 +9,12 @@ control flow (best-by-val-acc after epoch 10, early stopping, plateau
 scaling — training_adversary_baselines.py:440-460) decides what happens
 next.  The sliding-window test vote stays the batched/vmapped evaluator.
 
-Restrictions (fall back to loop.fit otherwise): no 88-dim global feature,
-single-task pred.  Numerical behavior matches the per-step path up to batch
-shuffling granularity (the scanned epoch reshuffles identically via the
-same numpy permutation stream).
+Restrictions (fall back to loop.fit otherwise): single-task pred; the cloak
+loop additionally requires no 88-dim global feature (the baseline loop
+carries globals through the scanned epoch, ``DeviceSplit.globals``).
+Numerical behavior matches the per-step path up to batch shuffling
+granularity (the scanned epoch reshuffles identically via the same numpy
+permutation stream).
 """
 
 from __future__ import annotations
@@ -71,13 +73,19 @@ class DeviceSplit:
             self.labels_gen if label_key == "labels_gen" else self.labels_emo
         )
         self.weights = jnp.asarray(w)
+        gdata = split.global_data
+        if pad:
+            gdata = np.concatenate(
+                [gdata, np.zeros((pad,) + gdata.shape[1:], gdata.dtype)]
+            )
+        self.globals = jnp.asarray(gdata)
         if mesh is not None:
             from sept_tpu.parallel.epoch_dp import put_replicated
 
             (self.windows, self.labels_emo, self.labels_gen, self.labels,
-             self.weights) = put_replicated(
+             self.weights, self.globals) = put_replicated(
                 (self.windows, self.labels_emo, self.labels_gen, self.labels,
-                 self.weights), mesh)
+                 self.weights, self.globals), mesh)
         self.n_real = n
         self.n_batches = (n + pad) // batch_size
         self.batch_size = batch_size
@@ -120,28 +128,32 @@ def _loop_restore(loop, early, plateau):
             final, loop["history"])
 
 
-def make_val_pass(apply_logits):
+def make_val_pass(apply_logits, use_global: bool = False):
     """Scanned whole-split validation pass: one device program, but peak
     activation memory bounded by batch_size (the split is processed
     batch-by-batch inside a lax.scan, like the train path — a single
     whole-split forward would exhaust HBM at corpus scale).
 
-    ``apply_logits(params, batch_stats, windows_batch (B, T, D)) -> logits``.
-    Returns ``val(params, batch_stats, windows (M,T,D), labels (M,),
-    weights (M,), n_batches, batch_size) -> (weighted-CE loss, preds (M,))``
-    with the same global weighted mean as a single-pass weighted_ce
-    (numerator/denominator summed across batches before dividing).
+    ``apply_logits(params, batch_stats, windows_batch (B, T, D), g) ->
+    logits`` (``g`` is the (B, 88) global-feature batch, or None without
+    ``use_global``).  Returns ``val(params, batch_stats, windows (M,T,D),
+    labels (M,), weights (M,), n_batches, batch_size[, globals_]) ->
+    (weighted-CE loss, preds (M,))`` with the same global weighted mean as
+    a single-pass weighted_ce (numerator/denominator summed across batches
+    before dividing).
     """
 
     @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
     def val(params, batch_stats, windows, labels, weights, *, n_batches,
-            batch_size):
+            batch_size, globals_=None):
         def body(_, i):
             lo = i * batch_size
             x = jax.lax.dynamic_slice_in_dim(windows, lo, batch_size)
+            g = (jax.lax.dynamic_slice_in_dim(globals_, lo, batch_size)
+                 if use_global else None)
             lab = jax.lax.dynamic_slice_in_dim(labels, lo, batch_size)
             w = jax.lax.dynamic_slice_in_dim(weights, lo, batch_size)
-            logits = apply_logits(params, batch_stats, x)
+            logits = apply_logits(params, batch_stats, x, g)
             logp = jax.nn.log_softmax(logits)
             nll = -jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
             return None, (jnp.sum(nll * w), jnp.sum(w), jnp.argmax(logits, -1))
@@ -192,17 +204,23 @@ def fit_device(
     train_ds = DeviceSplit(train_split, label_key, cfg.batch_size, extra, mesh)
     val_ds = DeviceSplit(val_split, label_key, cfg.batch_size, mesh=mesh)
 
+    pooling = None if "deep" in cfg.model_type else "mean"
     if mesh is not None:
         from sept_tpu.parallel.epoch_dp import make_epoch_runner_dp, put_replicated
 
-        run_epoch = make_epoch_runner_dp(model, tx, mesh)
+        run_epoch = make_epoch_runner_dp(model, tx, mesh,
+                                         use_global=cfg.global_feature,
+                                         pooling=pooling)
         state = put_replicated(state, mesh)
     else:
-        run_epoch = make_epoch_runner(model, tx)
+        run_epoch = make_epoch_runner(model, tx, use_global=cfg.global_feature,
+                                      pooling=pooling)
     val_pass = make_val_pass(
-        lambda p, bs, x: model.apply(
-            {"params": p, "batch_stats": bs}, x[..., None]
-        )
+        lambda p, bs, x, g: model.apply(
+            {"params": p, "batch_stats": bs}, x[..., None], global_feature=g,
+            pooling=pooling,
+        ),
+        use_global=cfg.global_feature,
     )
 
     rng = np.random.default_rng(cfg.seed)
@@ -242,17 +260,20 @@ def fit_device(
 
     for epoch in range(start_epoch, cfg.num_epochs):
         order = jnp.asarray(rng.permutation(m_total))
+        gkw = {"globals_": train_ds.globals} if cfg.global_feature else {}
         state, losses, correct, counts = run_epoch(
             state, train_ds.windows, train_ds.labels, train_ds.weights, order,
             n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,
+            **gkw,
         )
         train_loss = float(jnp.mean(losses))
         train_acc = float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8))
 
+        vkw = {"globals_": val_ds.globals} if cfg.global_feature else {}
         val_loss, val_preds = val_pass(
             state.params, state.batch_stats, val_ds.windows, val_ds.labels,
             val_ds.weights, n_batches=val_ds.n_batches,
-            batch_size=val_ds.batch_size,
+            batch_size=val_ds.batch_size, **vkw,
         )
         val_loss = float(val_loss)
         valid = np.asarray(val_ds.weights) > 0
@@ -359,7 +380,7 @@ def fit_device_cloak(
         run_epoch = make_cloak_epoch_runner(model, tx, **runner_opts)
 
     val_pass = make_val_pass(
-        lambda p, bs, x: eval_logits_fn(p, bs, x[..., None], None)
+        lambda p, bs, x, g: eval_logits_fn(p, bs, x[..., None], None)
     )
 
     rng = np.random.default_rng(cfg.seed)

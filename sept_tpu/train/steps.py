@@ -108,12 +108,14 @@ def _metrics(logits, labels, weights, loss):
 
 
 def make_baseline_step(
-    model, tx, use_global: bool = False
+    model, tx, use_global: bool = False, pooling: Optional[str] = "mean"
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """Jitted supervised step for baseline / adversary / multitask training.
 
     pred='multitask' sums emotion + gender CE over the two heads
     (baseline_models.py:251-254); metrics track the emotion head.
+    ``pooling`` must match evaluation's (None = flatten for the 'deep'
+    model types, training_cloak.py:132).
     """
 
     multitask = model.pred == "multitask"
@@ -130,6 +132,7 @@ def make_baseline_step(
                 batch["spec"],
                 global_feature=g,
                 train=True,
+                pooling=pooling,
                 rngs={"dropout": d_rng},
                 mutable=["batch_stats"],
             )
@@ -160,7 +163,8 @@ def make_baseline_step(
     return step
 
 
-def make_epoch_runner(model, tx, use_global: bool = False):
+def make_epoch_runner(model, tx, use_global: bool = False,
+                      pooling: Optional[str] = "mean"):
     """Whole-epoch trainer as ONE device program (lax.scan over batches).
 
     For device-resident datasets (sept_tpu.data.device_pipeline): a Python
@@ -169,15 +173,20 @@ def make_epoch_runner(model, tx, use_global: bool = False):
     returns only per-batch scalar metrics.
 
     Returns ``run(state, windows (M, T, D), labels (M,), weights (M,),
-    order (M,), n_batches, batch_size) -> (state, losses, correct, counts)``.
+    order (M,), n_batches, batch_size[, globals_]) -> (state, losses,
+    correct, counts)``.  With ``use_global``, pass ``globals_`` (M, 88) and
+    the per-window vector is concatenated to the pooled state exactly as in
+    the per-step path (baseline_models.py:208,244-245).
     """
 
     @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
-    def run(state, windows, labels, weights, order, *, n_batches, batch_size):
+    def run(state, windows, labels, weights, order, *, n_batches, batch_size,
+            globals_=None):
         def body(carry, i):
             st = carry
             idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
             spec = windows[idx][..., None]
+            g = globals_[idx] if use_global else None
             lab = labels[idx]
             w = weights[idx]
             rng, d_rng = jax.random.split(st.rng)
@@ -186,7 +195,9 @@ def make_epoch_runner(model, tx, use_global: bool = False):
                 out, mut = model.apply(
                     {"params": params, "batch_stats": st.batch_stats},
                     spec,
+                    global_feature=g,
                     train=True,
+                    pooling=pooling,
                     rngs={"dropout": d_rng},
                     mutable=["batch_stats"],
                 )

@@ -138,3 +138,84 @@ def test_cloak_epoch_runner_moves_only_noise():
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                      state.params["backbone"], s1.params["backbone"])
     assert max(jax.tree.leaves(d)) == 0.0
+
+
+def test_epoch_runner_global_feature_matches_per_step_loop():
+    """use_global: the scanned epoch must gather the per-window 88-dim
+    global rows and match the per-step path exactly
+    (baseline_models.py:208,244-245 concat semantics)."""
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2,
+                           weight_decay=0.0, hidden_size=8)
+    model = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+
+    key = jax.random.PRNGKey(8)
+    windows = jax.random.normal(key, (M, T, D))
+    gdata = jax.random.normal(jax.random.PRNGKey(9), (M, 88))
+    labels = jnp.asarray(np.arange(M) % 4, jnp.int32)
+    weights = jnp.ones(M)
+    order = jnp.asarray(np.random.default_rng(0).permutation(M))
+
+    sample = {
+        "spec": windows[:BATCH][..., None],
+        "labels_emo": labels[:BATCH],
+        "labels_gen": labels[:BATCH] % 2,
+        "global": gdata[:BATCH],
+        "weight": weights[:BATCH],
+    }
+    state0 = init_state(model, tx, key, sample, use_global=True)
+    model_nodrop = Conv2dBiRNN(hidden_size=8, pred="emotion", dropout_rate=0.0)
+
+    step = make_baseline_step(model_nodrop, tx, use_global=True)
+    s = state0
+    n_batches = M // BATCH
+    for i in range(n_batches):
+        idx = jax.lax.dynamic_slice_in_dim(order, i * BATCH, BATCH)
+        s, _ = step(s, {
+            "spec": windows[idx][..., None], "labels_emo": labels[idx],
+            "labels_gen": labels[idx] % 2, "global": gdata[idx],
+            "weight": weights[idx],
+        })
+
+    run = make_epoch_runner(model_nodrop, tx, use_global=True)
+    s2, losses, correct, counts = run(
+        state0, windows, labels, weights, order,
+        n_batches=n_batches, batch_size=BATCH, globals_=gdata,
+    )
+    for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_deep_model_pooling_consistent_train_eval():
+    """Regression: the 'deep' model types flatten the RNN sequence
+    (pooling=None, training_cloak.py:132).  Training steps and epoch
+    runners must apply the SAME pooling as evaluation — with the old
+    default-'mean' apply, a deep model trained fine but crashed (dense1
+    width mismatch) at its first flatten-pooled evaluation."""
+    from sept_tpu.models import DeepConv2dBiRNN
+    from sept_tpu.train import make_eval_logits_fn
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-3, hidden_size=8)
+    model = DeepConv2dBiRNN(hidden_size=8, pred="emotion")
+    tx = make_optimizer(cfg, 10)
+    batch = {
+        "spec": jnp.zeros((4, T, D, 1)),
+        "labels_emo": jnp.zeros(4, jnp.int32),
+        "labels_gen": jnp.zeros(4, jnp.int32),
+        "global": jnp.zeros((4, 88)),
+        "weight": jnp.ones(4),
+    }
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch, pooling=None)
+    step = make_baseline_step(model, tx, pooling=None)
+    state, _ = step(state, batch)
+    logits = make_eval_logits_fn(model, pooling=None)(
+        state.params, state.batch_stats, batch["spec"]
+    )
+    assert logits.shape == (4, 4)
+
+    run = make_epoch_runner(model, tx, pooling=None)
+    state2, *_ = run(
+        state, jnp.zeros((8, T, D)), jnp.zeros(8, jnp.int32), jnp.ones(8),
+        jnp.arange(8), n_batches=2, batch_size=4,
+    )
+    assert jnp.isfinite(jax.tree.leaves(state2.params)[0]).all()

@@ -144,7 +144,7 @@ def test_scanned_val_pass_matches_single_forward():
     ds = DeviceSplit(split, "labels_emo", bsz)
     v = jax.jit(model.init)({"params": KEY}, jnp.asarray(windows[:2])[..., None])
 
-    def apply_logits(p, bs, x):
+    def apply_logits(p, bs, x, g=None):
         return model.apply({"params": p, "batch_stats": bs}, x[..., None])
 
     val = make_val_pass(apply_logits)
