@@ -56,8 +56,10 @@ def main(argv=None):
     adversary = build_backbone(cfg.model_type, hidden_size=cfg.hidden_size,
                                pred="gender", att=cfg.att,
                                attention_size=cfg.attention_size)
-    emo_fn = make_eval_logits_fn(emotion)
-    adv_fn = make_eval_logits_fn(adversary)
+    # 'deep' model types flatten instead of mean-pool (training_cloak.py:132)
+    pooling = None if "deep" in cfg.model_type else "mean"
+    emo_fn = make_eval_logits_fn(emotion, pooling=pooling)
+    adv_fn = make_eval_logits_fn(adversary, pooling=pooling)
 
     per_ratio = {}
     for ratio in args.ratios:

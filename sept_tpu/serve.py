@@ -54,6 +54,9 @@ class Predictor:
         norm_stats: Optional[tuple] = None,
     ):
         self.model = build_backbone(model_type, hidden_size=hidden_size, pred=pred)
+        # 'deep' model types flatten the RNN sequence instead of mean-pooling
+        # (training_cloak.py:132) — must match how the checkpoint was trained
+        self.pooling = None if "deep" in model_type else "mean"
         self.params = params
         self.batch_stats = batch_stats
         self.feature_len = feature_len
@@ -105,7 +108,8 @@ class Predictor:
         wins = self._noise(wins, rng)
         flat = wins.reshape(b * n_win, self.win_len, self.feature_len, 1)
         logits = self.model.apply(
-            {"params": self.params, "batch_stats": self.batch_stats}, flat
+            {"params": self.params, "batch_stats": self.batch_stats}, flat,
+            pooling=self.pooling,
         )
         probs = jax.nn.softmax(logits, -1).reshape(b, n_win, -1)
         n_valid = jnp.maximum((n_frames - self.win_len) // self.shift_len, 0) + 1

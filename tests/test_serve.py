@@ -50,3 +50,22 @@ def test_cloaked_predictor_changes_output(rng):
         shift_len=15, noise_params=noise_params, max_scale=5.0,
     ).predict(waves, seed=0)
     np.testing.assert_allclose(cloaked, again, atol=1e-6)
+
+
+def test_deep_model_predictor_uses_flatten_pooling(rng):
+    """Regression: a deep-model checkpoint is trained with pooling=None
+    (flatten); the Predictor must apply the same pooling or dense1's width
+    mismatches at inference."""
+    from sept_tpu.models import DeepConv2dBiRNN
+
+    model = DeepConv2dBiRNN(hidden_size=8, pred="emotion")
+    x = jnp.zeros((1, WIN, D, 1))
+    v = jax.jit(lambda a: model.init(
+        {"params": jax.random.PRNGKey(0)}, a, pooling=None))(x)
+    p = Predictor(v["params"], v["batch_stats"],
+                  model_type="deep-2d-cnn-lstm", hidden_size=8,
+                  feature_len=D, win_len=WIN, shift_len=15)
+    waves = [rng.standard_normal(12000).astype(np.float32)]
+    probs = p.predict(waves)
+    assert probs.shape == (1, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
