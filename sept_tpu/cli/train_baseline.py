@@ -73,7 +73,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
                                     pooling=pooling)
     spk_w = speaker_weights(train_split) if "combine" in cfg.dataset else None
     use_device_loop = (
-        cfg.pred in ("emotion", "gender")
+        cfg.pred in ("emotion", "gender", "multitask")
         # scan compile is slow on CPU; an explicit mesh overrides (tests /
         # forced --n_devices on the virtual CPU mesh)
         and (jax.default_backend() != "cpu" or mesh is not None)
@@ -87,8 +87,8 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
                             resume_path=resume_path)
     else:
         if mesh is not None:
-            print("note: --n_devices DP needs the device loop "
-                  "(single-task pred); training single-device")
+            print("note: --n_devices DP needs the device loop; training "
+                  "single-device")
         result = fit(state, step, logits_fn, train_split, val_split,
                      fold.test, cfg, spk_weights=spk_w, verbose=verbose)
     if metrics_path:

@@ -74,12 +74,15 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
     rows are gathered alongside each shard's batch rows.
     """
     n_dev = mesh.devices.size
+    multitask = model.pred == "multitask"
 
-    def local_epoch(state, windows, labels, weights, order, globals_):
+    def local_epoch(state, windows, labels, weights, order, globals_,
+                    labels_gen):
         def body(st, idx):  # idx: (batch/n_dev,) this shard's rows
             spec = windows[idx][..., None]
             g = globals_[idx] if use_global else None
             lab, w = labels[idx], weights[idx]
+            lg = labels_gen[idx]
             rng, d_rng = jax.random.split(st.rng)
             denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1e-8)
 
@@ -91,6 +94,11 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
                     rngs={"dropout": d_rng},
                     mutable=["batch_stats"],
                 )
+                if multitask:
+                    emo_out, gen_out = out
+                    local = (_weighted_nll(emo_out, lab, w)
+                             + _weighted_nll(gen_out, lg, w))
+                    return local / denom, (emo_out, mut)
                 return _weighted_nll(out, lab, w) / denom, (out, mut)
 
             (local_loss, (logits, mut)), grads = jax.value_and_grad(
@@ -121,13 +129,13 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
     mapped = jax.jit(jax.shard_map(
         local_epoch,
         mesh=mesh,
-        in_specs=_order_spec(mesh, axis) + (P(),),  # globals: replicated
+        in_specs=_order_spec(mesh, axis) + (P(), P()),  # globals/labels_gen: replicated
         out_specs=(state_spec, P(), P(), P()),
         check_vma=False,
     ))
 
     def run(state, windows, labels, weights, order, *, n_batches, batch_size,
-            globals_=None):
+            globals_=None, labels_gen=None):
         if batch_size % n_dev:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by {n_dev} devices"
@@ -138,7 +146,10 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
         )
         if globals_ is None:  # unused placeholder keeping the specs fixed
             globals_ = jnp.zeros((windows.shape[0], 1), windows.dtype)
-        return mapped(state, windows, labels, weights, order2, globals_)
+        if labels_gen is None:
+            labels_gen = jnp.zeros((windows.shape[0],), jnp.int32)
+        return mapped(state, windows, labels, weights, order2, globals_,
+                      labels_gen)
 
     return run
 

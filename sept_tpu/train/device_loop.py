@@ -9,9 +9,9 @@ control flow (best-by-val-acc after epoch 10, early stopping, plateau
 scaling — training_adversary_baselines.py:440-460) decides what happens
 next.  The sliding-window test vote stays the batched/vmapped evaluator.
 
-Restrictions (fall back to loop.fit otherwise): single-task pred; the cloak
-loop additionally requires no 88-dim global feature (the baseline loop
-carries globals through the scanned epoch, ``DeviceSplit.globals``).
+The baseline loop covers every pred (emotion / gender / multitask) and the
+88-dim global feature (``DeviceSplit.globals`` rides the scanned epoch);
+the cloak loop falls back to loop.fit for global-feature configs.
 Numerical behavior matches the per-step path up to batch shuffling
 granularity (the scanned epoch reshuffles identically via the same numpy
 permutation stream).
@@ -215,13 +215,15 @@ def fit_device(
     else:
         run_epoch = make_epoch_runner(model, tx, use_global=cfg.global_feature,
                                       pooling=pooling)
-    val_pass = make_val_pass(
-        lambda p, bs, x, g: model.apply(
+    def _val_logits(p, bs, x, g):
+        out = model.apply(
             {"params": p, "batch_stats": bs}, x[..., None], global_feature=g,
             pooling=pooling,
-        ),
-        use_global=cfg.global_feature,
-    )
+        )
+        # multitask: validation loss/metrics track the emotion head (loop.py)
+        return out[0] if isinstance(out, tuple) else out
+
+    val_pass = make_val_pass(_val_logits, use_global=cfg.global_feature)
 
     rng = np.random.default_rng(cfg.seed)
     early = EarlyStopping(patience=cfg.early_stop_patience)
@@ -261,6 +263,8 @@ def fit_device(
     for epoch in range(start_epoch, cfg.num_epochs):
         order = jnp.asarray(rng.permutation(m_total))
         gkw = {"globals_": train_ds.globals} if cfg.global_feature else {}
+        if cfg.pred == "multitask":
+            gkw["labels_gen"] = train_ds.labels_gen
         state, losses, correct, counts = run_epoch(
             state, train_ds.windows, train_ds.labels, train_ds.weights, order,
             n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,

@@ -173,21 +173,27 @@ def make_epoch_runner(model, tx, use_global: bool = False,
     returns only per-batch scalar metrics.
 
     Returns ``run(state, windows (M, T, D), labels (M,), weights (M,),
-    order (M,), n_batches, batch_size[, globals_]) -> (state, losses,
-    correct, counts)``.  With ``use_global``, pass ``globals_`` (M, 88) and
-    the per-window vector is concatenated to the pooled state exactly as in
-    the per-step path (baseline_models.py:208,244-245).
+    order (M,), n_batches, batch_size[, globals_][, labels_gen]) ->
+    (state, losses, correct, counts)``.  With ``use_global``, pass
+    ``globals_`` (M, 88) and the per-window vector is concatenated to the
+    pooled state exactly as in the per-step path
+    (baseline_models.py:208,244-245).  For pred='multitask' models pass
+    ``labels_gen`` too: the loss sums emotion + gender CE and the metrics
+    track the emotion head, matching make_baseline_step.
     """
+
+    multitask = model.pred == "multitask"
 
     @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
     def run(state, windows, labels, weights, order, *, n_batches, batch_size,
-            globals_=None):
+            globals_=None, labels_gen=None):
         def body(carry, i):
             st = carry
             idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
             spec = windows[idx][..., None]
             g = globals_[idx] if use_global else None
             lab = labels[idx]
+            lg = labels_gen[idx] if multitask else None
             w = weights[idx]
             rng, d_rng = jax.random.split(st.rng)
 
@@ -201,6 +207,12 @@ def make_epoch_runner(model, tx, use_global: bool = False,
                     rngs={"dropout": d_rng},
                     mutable=["batch_stats"],
                 )
+                if multitask:
+                    emo_out, gen_out = out
+                    loss = weighted_ce(emo_out, lab, w) + weighted_ce(
+                        gen_out, lg, w
+                    )
+                    return loss, (emo_out, mut)
                 return weighted_ce(out, lab, w), (out, mut)
 
             (loss, (logits, mut)), grads = jax.value_and_grad(

@@ -219,3 +219,45 @@ def test_deep_model_pooling_consistent_train_eval():
         jnp.arange(8), n_batches=2, batch_size=4,
     )
     assert jnp.isfinite(jax.tree.leaves(state2.params)[0]).all()
+
+
+def test_epoch_runner_multitask_matches_per_step_loop():
+    """pred='multitask': the scanned epoch must sum emotion + gender CE over
+    both heads exactly like make_baseline_step (metrics track emotion)."""
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2,
+                           weight_decay=0.0, hidden_size=8)
+    model = Conv2dBiRNN(hidden_size=8, pred="multitask", dropout_rate=0.0)
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+
+    key = jax.random.PRNGKey(8)
+    windows = jax.random.normal(key, (M, T, D))
+    labels = jnp.asarray(np.arange(M) % 4, jnp.int32)
+    labels_gen = jnp.asarray(np.arange(M) % 2, jnp.int32)
+    weights = jnp.ones(M)
+    order = jnp.asarray(np.random.default_rng(0).permutation(M))
+
+    sample = {
+        "spec": windows[:BATCH][..., None], "labels_emo": labels[:BATCH],
+        "labels_gen": labels_gen[:BATCH], "global": jnp.zeros((BATCH, 88)),
+        "weight": weights[:BATCH],
+    }
+    state0 = init_state(model, tx, key, sample)
+
+    step = make_baseline_step(model, tx)
+    s = state0
+    n_batches = M // BATCH
+    for i in range(n_batches):
+        idx = jax.lax.dynamic_slice_in_dim(order, i * BATCH, BATCH)
+        s, _ = step(s, {
+            "spec": windows[idx][..., None], "labels_emo": labels[idx],
+            "labels_gen": labels_gen[idx], "global": jnp.zeros((BATCH, 88)),
+            "weight": weights[idx],
+        })
+
+    run = make_epoch_runner(model, tx)
+    s2, losses, correct, counts = run(
+        state0, windows, labels, weights, order,
+        n_batches=n_batches, batch_size=BATCH, labels_gen=labels_gen,
+    )
+    for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
