@@ -70,8 +70,12 @@ def main():
         # some folds and collapses the suppression masks toward random
         "--early_stop_patience", "100",
     ]
+    # the sweep resolves cloak artifacts by name, which encodes the training
+    # extensions (cli.train_cloak.cloak_artifact) — pass the same knobs
     eval_args = ["--grl", "1", "--scale_lamda", "1.0",
-                 "--grl_lambda", "1.0", "--gender_lambda", "1.0"]
+                 "--grl_lambda", "1.0", "--gender_lambda", "1.0",
+                 "--antithetic", "1", "--saliency_align", "5.0",
+                 "--mask_direction", "eval"]
 
     print("== featurize ==", flush=True)
     # --functionals 0: the demo trains with global_feature=0, so skip the

@@ -37,7 +37,11 @@ def setup_seed(seed: int = 8) -> np.random.Generator:
     enough — an explicit config update before first backend use is)."""
     import os
 
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    platforms = [p.strip() for p in
+                 os.environ.get("JAX_PLATFORMS", "").split(",") if p.strip()]
+    # only when cpu is the FIRST choice ('cpu' or 'cpu,...'): a fallback
+    # list like 'tpu,cpu' means prefer the accelerator, not force CPU
+    if platforms and platforms[0] == "cpu":
         try:
             import jax
 
@@ -133,8 +137,14 @@ def resolve_mesh(args):
         )
 
     n = args.n_devices
-    if n == 0:
+    auto = n == 0
+    if auto:
         n = len(jax.devices()) if jax.default_backend() != "cpu" else 1
+        # auto mode must never fail a previously-working command: on a
+        # topology that doesn't divide the batch, use the largest device
+        # count that does (worst case 1 = single-device)
+        while n > 1 and args.batch_size % n:
+            n -= 1
     if n <= 1:
         return None
     avail = len(jax.devices())

@@ -41,7 +41,7 @@ def main(argv=None):
         rows_to_csv,
         sweep_to_rows,
     )
-    from sept_tpu.models import CloakNoise, build_backbone
+    from sept_tpu.models import CloakNoise, build_backbone, pooling_for
     from sept_tpu.train import make_eval_logits_fn
     from sept_tpu.train.checkpoint import CheckpointManager
 
@@ -56,8 +56,7 @@ def main(argv=None):
     adversary = build_backbone(cfg.model_type, hidden_size=cfg.hidden_size,
                                pred="gender", att=cfg.att,
                                attention_size=cfg.attention_size)
-    # 'deep' model types flatten instead of mean-pool (training_cloak.py:132)
-    pooling = None if "deep" in cfg.model_type else "mean"
+    pooling = pooling_for(cfg.model_type)
     emo_fn = make_eval_logits_fn(emotion, pooling=pooling)
     adv_fn = make_eval_logits_fn(adversary, pooling=pooling)
 

@@ -30,7 +30,7 @@ def artifact_name(cfg) -> str:
 def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
              resume_path=None):
     from sept_tpu.data.pipeline import batch_iterator
-    from sept_tpu.models import build_backbone
+    from sept_tpu.models import build_backbone, pooling_for
     from sept_tpu.train import (
         init_state,
         make_baseline_step,
@@ -62,7 +62,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
         k: jnp.asarray(v) for k, v in sample.items()
         if k not in ("speaker_ids", "datasets")
     }
-    pooling = None if "deep" in cfg.model_type else "mean"
+    pooling = pooling_for(cfg.model_type)
     state = init_state(
         model, tx, jax.random.PRNGKey(cfg.seed), sample,
         use_global=cfg.global_feature, pooling=pooling,

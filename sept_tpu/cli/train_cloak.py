@@ -13,7 +13,9 @@ apply the training-direction percentile mask (training_cloak.py:364-371);
 --mask_direction eval trains under the evaluation sweep's mask instead
 (fixes the reference's quirk-8 train/eval mismatch — see
 sept_tpu.eval.sweep.train_mask/eval_mask).
-Artifacts: ``cloak[_grl]_<scale_lamda>_supp<r>/fold<k>``.
+Artifacts: ``cloak[_grl]_<scale_lamda>_supp<r>[_anti][_sal<w>][_mdeval]/
+fold<k>`` (training-extension knobs are part of the artifact identity —
+see :func:`cloak_artifact`).
 """
 
 from __future__ import annotations
@@ -29,14 +31,37 @@ from sept_tpu.cli.common import add_common_args, config_from_args, setup_seed
 
 
 def cloak_artifact(cfg) -> str:
+    """Checkpoint directory name for a cloak training configuration.
+
+    Encodes every knob that changes WHAT the trained cloak is — including
+    the framework's training extensions — so cloaks trained under different
+    regimes can never collide on one artifact (an eval-direction /
+    saliency-shaped cloak silently resumed or swept as a reference-protocol
+    one).  Mirrors the reference's hyperparameters-in-directory-names scheme
+    (training_cloak.py:277-280).
+    """
     tag = "cloak_grl" if cfg.grl else "cloak"
-    return f"{tag}_lamda{cfg.scale_lambda}_supp{cfg.suppression_ratio}"
+    name = f"{tag}_lamda{cfg.scale_lambda}_supp{cfg.suppression_ratio}"
+    if cfg.antithetic_noise:
+        name += "_anti"
+    if cfg.saliency_align:
+        name += f"_sal{cfg.saliency_align:g}"
+    # the mask direction only shapes ratio-matched (suppressed) training;
+    # suppression-0 cloaks are shared between directions
+    if cfg.suppression_ratio and cfg.mask_direction == "eval":
+        name += "_mdeval"
+    return name
 
 
 def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
     from sept_tpu.data.pipeline import batch_iterator
     from sept_tpu.eval.sweep import eval_mask, train_mask
-    from sept_tpu.models import CloakedModel, CloakedModelGRL, build_backbone
+    from sept_tpu.models import (
+        CloakedModel,
+        CloakedModelGRL,
+        build_backbone,
+        pooling_for,
+    )
     from sept_tpu.train import (
         TrainState,
         make_cloak_grl_step,
@@ -114,7 +139,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         params=params, batch_stats=batch_stats, opt_state=tx.init(params),
         rng=jax.random.PRNGKey(cfg.seed), step=jnp.zeros((), jnp.int32),
     )
-    pooling = None if "deep" in cfg.model_type else "mean"
+    pooling = pooling_for(cfg.model_type)
     apply_reg = cfg.suppression_ratio == 0
     if cfg.grl:
         step = make_cloak_grl_step(

@@ -104,8 +104,9 @@ def _ingest(
     if frontend == "pallas_bf16":
         # throughput mode: the fused Pallas kernel with bf16 MXU GEMMs +
         # f32 accumulation — measured 1.47x the XLA f32 chain on v5e
-        # (docs/ARCHITECTURE.md); ~1e-2 dB p99 deviation from the
-        # torchaudio oracle, acceptable for bulk training ingest
+        # (docs/ARCHITECTURE.md); ~6e-2 dB p99 deviation from the
+        # torchaudio oracle (hardware bound asserted < 0.1 dB in
+        # tests_tpu/), acceptable for bulk training ingest
         from sept_tpu.ops.pallas_frontend import pallas_mel_spectrogram
 
         feats = pallas_mel_spectrogram(

@@ -45,3 +45,15 @@ def build_backbone(model_type: str, **kwargs):
         kwargs.pop("attention_size", None)
         return PlainConv2d(**kwargs)
     raise ValueError(f"unknown model_type: {model_type!r}")
+
+
+def pooling_for(model_type: str):
+    """Temporal-pooling convention per --model_type: the 'deep' variants
+    flatten the full RNN sequence (pooling=None — the reference passes
+    pooling=None for 'deep' model types, training_cloak.py:132); every
+    other type mean-pools.  Single source of truth: training steps, epoch
+    runners, evaluation, and serving must all apply the SAME pooling or
+    dense1's input width mismatches at inference (see
+    tests/test_epoch_runner.py::test_deep_model_pooling_consistent_train_eval).
+    """
+    return None if "deep" in model_type else "mean"

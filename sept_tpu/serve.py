@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sept_tpu.data.device_pipeline import prepare_waves
-from sept_tpu.models import CloakNoise, build_backbone
+from sept_tpu.models import CloakNoise, build_backbone, pooling_for
 from sept_tpu.ops import frontend as F
 
 __all__ = ["Predictor", "CloakedPredictor"]
@@ -54,9 +54,7 @@ class Predictor:
         norm_stats: Optional[tuple] = None,
     ):
         self.model = build_backbone(model_type, hidden_size=hidden_size, pred=pred)
-        # 'deep' model types flatten the RNN sequence instead of mean-pooling
-        # (training_cloak.py:132) — must match how the checkpoint was trained
-        self.pooling = None if "deep" in model_type else "mean"
+        self.pooling = pooling_for(model_type)
         self.params = params
         self.batch_stats = batch_stats
         self.feature_len = feature_len

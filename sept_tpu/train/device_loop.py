@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sept_tpu.data.pipeline import SplitArrays
+from sept_tpu.models import pooling_for
 from sept_tpu.eval import metrics as M
 from sept_tpu.train.config import ExperimentConfig
 from sept_tpu.train.loop import EarlyStopping, FitResult, run_test
@@ -204,7 +205,7 @@ def fit_device(
     train_ds = DeviceSplit(train_split, label_key, cfg.batch_size, extra, mesh)
     val_ds = DeviceSplit(val_split, label_key, cfg.batch_size, mesh=mesh)
 
-    pooling = None if "deep" in cfg.model_type else "mean"
+    pooling = pooling_for(cfg.model_type)
     if mesh is not None:
         from sept_tpu.parallel.epoch_dp import make_epoch_runner_dp, put_replicated
 
@@ -366,7 +367,7 @@ def fit_device_cloak(
     runner_opts = dict(
         scale_lambda=cfg.scale_lambda, gender_lambda=cfg.gender_lambda,
         grl=cfg.grl, apply_scale_reg=cfg.suppression_ratio == 0,
-        pooling=None if "deep" in cfg.model_type else "mean",
+        pooling=pooling_for(cfg.model_type),
         antithetic=cfg.antithetic_noise,
         saliency_align=cfg.saliency_align,
     )

@@ -46,3 +46,22 @@ def test_featurize_functionals_flag(tmp_path):
 
     fold = load_fold(str(tmp_path / "folds" / "synthetic" / "fold1.npz"))
     assert np.all(fold.training.global_data == 0.0)
+
+
+def test_cloak_artifact_encodes_training_regime():
+    """Cloaks trained under different extension regimes must not collide on
+    one checkpoint name (silent --resume / evaluate mixups)."""
+    from sept_tpu.cli.train_cloak import cloak_artifact
+    from sept_tpu.train.config import ExperimentConfig
+
+    base = ExperimentConfig(grl=True, scale_lambda=1.0, suppression_ratio=40)
+    assert cloak_artifact(base) == "cloak_grl_lamda1.0_supp40"
+    ext = ExperimentConfig(grl=True, scale_lambda=1.0, suppression_ratio=40,
+                           antithetic_noise=True, saliency_align=5.0,
+                           mask_direction="eval")
+    assert cloak_artifact(ext) == "cloak_grl_lamda1.0_supp40_anti_sal5_mdeval"
+    assert cloak_artifact(base) != cloak_artifact(ext)
+    # suppression-0 cloaks are direction-agnostic and shared
+    s0 = ExperimentConfig(grl=True, scale_lambda=1.0, suppression_ratio=0,
+                          mask_direction="eval")
+    assert cloak_artifact(s0) == "cloak_grl_lamda1.0_supp0"

@@ -83,3 +83,52 @@ def test_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch):
     assert res.best_epoch == ref.best_epoch
     # fold completed -> the mid checkpoint is gone
     assert not MidFoldCheckpoint(mid_dir).exists()
+
+
+def test_crash_window_leaves_consistent_checkpoint(tmp_path, monkeypatch):
+    """loop.json is the atomic commit point: a kill AFTER the new epoch's
+    Orbax state is written but BEFORE loop.json is replaced must leave the
+    previous epoch's checkpoint fully restorable (old scheme: state said
+    epoch N+1 while loop.json said N -> the epoch trained twice)."""
+    import os
+
+    from sept_tpu.train.midfold import MidFoldCheckpoint
+    from sept_tpu.train.steps import TrainState
+
+    def mk_state(v):
+        return TrainState(
+            params={"w": jnp.full((3,), float(v))}, batch_stats={},
+            opt_state=(), rng=jax.random.PRNGKey(0),
+            step=jnp.asarray(v, jnp.int32),
+        )
+
+    mid = MidFoldCheckpoint(str(tmp_path / "mid"))
+    mid.save(mk_state(0), None, {"epoch": 0, "tag": "e0"})
+
+    # simulate the kill: fail the atomic loop.json replace for epoch 1
+    real_replace = os.replace
+
+    def boom(src, dst, *a, **k):
+        if dst.endswith("loop.json"):
+            raise RuntimeError("killed before commit")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(RuntimeError):
+        mid.save(mk_state(1), None, {"epoch": 1, "tag": "e1"})
+    monkeypatch.undo()
+
+    assert mid.exists()
+    state, best, loop = mid.restore(like=mk_state(0))
+    assert loop["epoch"] == 0 and loop["tag"] == "e0"
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 0.0)
+
+    # a later successful save commits epoch 1 and cleans up epoch 0
+    mid.save(mk_state(1), mk_state(1), {"epoch": 1, "tag": "e1"})
+    state, best, loop = mid.restore(like=mk_state(0))
+    assert loop["epoch"] == 1
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(best.params["w"]), 1.0)
+    dirs = {d for d in os.listdir(mid.path)
+            if os.path.isdir(os.path.join(mid.path, d))}
+    assert dirs == {"state_e1", "best_e1"}
