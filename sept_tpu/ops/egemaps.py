@@ -62,9 +62,11 @@ __all__ = [
 
 N_GEMAPS = 88
 _SR = 16000
-_NFFT = 800
-_HOP = 160
-_NFREQ = _NFFT // 2 + 1
+# frame grid shared with emobase — single source in ops.functionals
+_NFFT = FN.NFFT
+_HOP = FN.HOP
+_NFREQ = FN.NFREQ
+_n_frames = FN.n_frames
 
 
 def _freqs():
@@ -111,13 +113,7 @@ def _lld(wave):
         jnp.asarray(((_freqs() >= 2500) & (_freqs() < 3500)).astype(np.float32)),
     ]
 
-    frames = F.frame_signal(wave, _NFFT, _HOP, center=False)
-    win = jnp.asarray(F.hann_window(_NFFT))
-    framed = frames * win[None, :]
-    cos_m, sin_m = F._rdft_matrices(_NFFT)
-    re = jnp.dot(framed, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
-    im = jnp.dot(framed, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
-    spec = re * re + im * im  # (T, n_freq)
+    frames, spec = FN.stft_power(wave)  # (T, _NFFT), (T, n_freq)
     eps = 1e-10
 
     energy = jnp.sum(spec, axis=1)
@@ -310,10 +306,6 @@ def _gemaps_single(wave, t, n_samples):
 
 
 _gemaps_batch = jax.jit(jax.vmap(_gemaps_single))
-
-
-def _n_frames(n_samples: int) -> int:
-    return max(1, 1 + (n_samples - _NFFT) // _HOP)
 
 
 def egemaps_functionals_batch(

@@ -55,13 +55,19 @@ N_LLD = 52  # 26 tracks + deltas
 N_FUNCTIONALS = 19
 N_EMOBASE = N_LLD * N_FUNCTIONALS  # 988, the openSMILE emobase width
 _SR = 16000
-_NFFT = 800
-_HOP = 160
-_NFREQ = _NFFT // 2 + 1
+# frame grid shared with egemaps — single source in ops.functionals
+_NFFT = FN.NFFT
+_HOP = FN.HOP
+_NFREQ = FN.NFREQ
+_n_frames = FN.n_frames
 
 
-def _band_matrix() -> np.ndarray:
-    """8 octave-spaced rectangular band filters (the LSP stand-ins)."""
+def _lsp_band_matrix() -> np.ndarray:
+    """8 octave-spaced rectangular band filters (the LSP stand-ins).
+
+    Distinct from egemaps' 13-band triangular ``_band_matrix`` — named
+    apart so the two feature sets' filterbanks can't be confused.
+    """
     edges = np.geomspace(100, 8000, 9)
     f = np.linspace(0, _SR / 2, _NFREQ)
     bands = np.zeros((_NFREQ, 8), dtype=np.float32)
@@ -73,13 +79,7 @@ def _band_matrix() -> np.ndarray:
 def _lld(wave):
     """(n_frames, 52) emobase LLD + delta tracks for one padded waveform."""
     eps = 1e-10
-    frames = F.frame_signal(wave, _NFFT, _HOP, center=False)
-    win = jnp.asarray(F.hann_window(_NFFT))
-    framed = frames * win[None, :]
-    cos_m, sin_m = F._rdft_matrices(_NFFT)
-    re = jnp.dot(framed, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
-    im = jnp.dot(framed, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
-    spec = re * re + im * im  # (T, n_freq)
+    frames, spec = FN.stft_power(wave)  # (T, _NFFT), (T, n_freq)
 
     intensity = jnp.sqrt(jnp.mean(frames**2, axis=1) + eps)
     loud = 10.0 * jnp.log10(jnp.sum(spec, axis=1) + eps)
@@ -106,7 +106,7 @@ def _lld(wave):
     mfcc = jnp.dot(mel_db, dct, preferred_element_type=jnp.float32)  # (T, 12)
 
     band_e = 10.0 * jnp.log10(
-        jnp.dot(spec, jnp.asarray(_band_matrix()),
+        jnp.dot(spec, jnp.asarray(_lsp_band_matrix()),
                 preferred_element_type=jnp.float32) + eps
     )  # (T, 8)
 
@@ -159,10 +159,6 @@ def _emobase_single(wave, t):
 
 
 _emobase_batch = jax.jit(jax.vmap(_emobase_single))
-
-
-def _n_frames(n_samples: int) -> int:
-    return max(1, 1 + (n_samples - _NFFT) // _HOP)
 
 
 def emobase_functionals_batch(

@@ -19,7 +19,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from sept_tpu.ops import frontend as F
+
 __all__ = [
+    "NFFT",
+    "HOP",
+    "NFREQ",
+    "stft_power",
+    "n_frames",
     "bucket_indices",
     "chunked_wave_batches",
     "pow2_rows",
@@ -40,6 +47,39 @@ __all__ = [
 ]
 
 _BIG = 3.0e38  # fill for masked-out cells (finite: keeps sorts NaN-free)
+
+# Shared frame/window convention of BOTH functional LLD extractors (eGeMAPS
+# and emobase): 50ms Hann frames, 10ms hop, no centering — openSMILE's
+# default frame grid at 16kHz.  A change here moves both feature sets in
+# lockstep; combined_functionals_batch relies on their frame counts agreeing.
+NFFT = 800
+HOP = 160
+NFREQ = NFFT // 2 + 1
+
+
+def n_frames(n_samples: int, nfft: int = NFFT, hop: int = HOP) -> int:
+    """Frames produced by the shared uncentered grid (host-side, static)."""
+    return max(1, 1 + (n_samples - nfft) // hop)
+
+
+def stft_power(wave, nfft: int = NFFT, hop: int = HOP):
+    """(frames, power spectrum) of one padded waveform on the shared grid.
+
+    The LLD preamble common to both functional extractors: uncentered
+    framing, Hann window, RDFT as two MXU GEMMs against the cos/sin
+    matrices, |.|^2 power.  Returns the RAW (unwindowed) frames too —
+    pitch/intensity/ZCR tracks consume those — alongside the (T, NFREQ)
+    power spectrum.  Traceable; constants fold at compile time.
+    """
+    frames = F.frame_signal(wave, nfft, hop, center=False)
+    win = jnp.asarray(F.hann_window(nfft))
+    framed = frames * win[None, :]
+    cos_m, sin_m = F._rdft_matrices(nfft)
+    re = jnp.dot(framed, jnp.asarray(cos_m),
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(framed, jnp.asarray(sin_m),
+                 preferred_element_type=jnp.float32)
+    return frames, re * re + im * im
 
 
 def pow2_rows(n: int, cap: int) -> int:
