@@ -23,7 +23,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     setup_seed(args.seed)
 
-    if args.dataset == "combine":
+    if args.dataset in ("combine", "combine_two"):
         return _combine(args)
 
     from sept_tpu.data.pipeline import assemble_fold
@@ -95,24 +95,29 @@ def main(argv=None):
 
 
 def _combine(args):
-    """--dataset combine: merge the three corpora's assembled folds
-    (preprocess_adversary_data.py:86-104)."""
+    """--dataset combine | combine_two: merge the corpora's assembled folds
+    (preprocess_adversary_data.py:86-104).  ``combine`` merges all three
+    corpora; ``combine_two`` merges iemocap + crema-d only
+    (training_adversary_baselines.py:53,148)."""
     import os
 
     from sept_tpu.data.combine import combine_folds
     from sept_tpu.data.store import load_fold, save_fold
 
-    out_dir = os.path.join(args.work_dir, "folds", "combine")
+    corpora = ("iemocap", "crema-d", "msp-improv")
+    if args.dataset == "combine_two":
+        corpora = ("iemocap", "crema-d")
+    out_dir = os.path.join(args.work_dir, "folds", args.dataset)
     os.makedirs(out_dir, exist_ok=True)
     for k in args.folds or range(1, 6):
         folds = []
-        for ds in ("iemocap", "crema-d", "msp-improv"):
+        for ds in corpora:
             path = os.path.join(args.work_dir, "folds", ds, f"fold{k}.npz")
             folds.append(load_fold(path))
         merged = combine_folds(folds)
         path = os.path.join(out_dir, f"fold{k}.npz")
         save_fold(path, merged)
-        print(f"combine fold{k}: train {len(merged.training)} test "
+        print(f"{args.dataset} fold{k}: train {len(merged.training)} test "
               f"{len(merged.test)} -> {path}")
 
 

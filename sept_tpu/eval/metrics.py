@@ -72,6 +72,8 @@ def result_dict(
     keys = [dataset]
     if dataset == "combine":
         keys += ["iemocap", "crema-d", "msp-improv"]
+    elif dataset == "combine_two":  # training_adversary_baselines.py:53,148
+        keys += ["iemocap", "crema-d"]
     for key in keys:
         t, p = np.asarray(truth[key]), np.asarray(predict[key])
         out[key] = {

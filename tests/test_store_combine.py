@@ -113,3 +113,43 @@ def test_egemaps_dimension_and_gender_sensitivity():
     f0_f = np.mean([v[0] for v, g in vecs.values() if g == "F"])
     f0_m = np.mean([v[0] for v, g in vecs.values() if g == "M"])
     assert f0_f > f0_m
+
+
+def test_combine_two_mode(tmp_path):
+    """--dataset combine_two merges iemocap + crema-d only
+    (training_adversary_baselines.py:53,148), and result_dict carries the
+    two-corpus breakdown keys."""
+    from sept_tpu.cli import preprocess
+    from sept_tpu.eval.metrics import result_dict
+
+    import dataclasses
+
+    def retag(split, tag):
+        return dataclasses.replace(
+            split, datasets=np.full(len(split), tag, dtype=object)
+        )
+
+    for ds in ("iemocap", "crema-d", "msp-improv"):
+        # synthetic folds retagged with real-corpus names (real corpora
+        # require licensed audio; combine only consumes the dataset tags)
+        _, _, fold = _tiny_fold(seed=8)
+        fold = dataclasses.replace(
+            fold,
+            **{s: retag(fold.split(s), ds)
+               for s in ("training", "validation", "adv_training",
+                         "adv_validation", "test")},
+        )
+        d = tmp_path / "folds" / ds
+        d.mkdir(parents=True)
+        save_fold(str(d / "fold1.npz"), fold)
+
+    preprocess.main(["--dataset", "combine_two", "--work_dir", str(tmp_path),
+                     "--folds", "1"])
+    merged = load_fold(str(tmp_path / "folds" / "combine_two" / "fold1.npz"))
+    assert set(merged.training.datasets.tolist()) == {"iemocap", "crema-d"}
+
+    truth = {"combine_two": [0, 1], "iemocap": [0], "crema-d": [1]}
+    pred = {"combine_two": [0, 0], "iemocap": [0], "crema-d": [0]}
+    out = result_dict(truth, pred, "combine_two", "emotion")
+    assert set(out) == {"combine_two", "iemocap", "crema-d"}
+    assert out["iemocap"]["acc"]["emotion"] == 1.0
