@@ -9,4 +9,5 @@
 | training/training_cloak_with_grl.py       | sept_tpu.cli.train_cloak --grl 1 |
 | training/adversary_cloak_evaluation.py    | sept_tpu.cli.evaluate          |
 | feature_extraction.sh + training_data_preprocess.sh | sept_tpu.cli.run_all |
+| (no reference counterpart: HTTP serving) | sept_tpu.cli.serve         |
 """

@@ -1,0 +1,66 @@
+"""CLI: serve a trained model over HTTP (JSON in, probabilities out).
+
+    python -m sept_tpu.cli.serve --output_dir results --artifact \\
+        baseline_emotion --fold 1 --port 8080
+
+    # privacy-preserving path: classify the NOISED representation
+    python -m sept_tpu.cli.serve --output_dir results \\
+        --cloak cloak_grl_lamda1.0_supp40 --suppression_ratio 40
+
+The reference has no serving story (inference means re-running chunks of
+its training scripts); this is the framework's deployment surface on top of
+:mod:`sept_tpu.serve`.  Protocol:
+
+    GET  /healthz
+    POST /predict  {"waveforms": [[...16 kHz float samples...], ...]}
+                -> {"classes": [...], "probs": [[...]], "labels": [...]}
+
+One process drives one chip; scale horizontally behind any HTTP balancer.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--output_dir", default="results")
+    p.add_argument("--artifact", default="baseline_emotion",
+                   help="frozen classifier artifact (cli.train_baseline)")
+    p.add_argument("--fold", type=int, default=1)
+    p.add_argument("--cloak", default=None,
+                   help="cloak artifact name to serve the noised path "
+                        "(cli.train_cloak, e.g. cloak_grl_lamda1.0_supp40)")
+    p.add_argument("--suppression_ratio", type=int, default=0)
+    p.add_argument("--model_type", default="2d-cnn-lstm")
+    p.add_argument("--pred", default="emotion")
+    p.add_argument("--hidden_size", type=int, default=64)
+    p.add_argument("--input_spec_size", type=int, default=128)
+    p.add_argument("--win_len", type=int, default=200)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    args = p.parse_args(argv)
+
+    from sept_tpu.serve import PredictionServer, load_predictor
+
+    predictor = load_predictor(
+        args.output_dir, args.artifact, args.fold,
+        cloak_artifact=args.cloak,
+        suppression_ratio=args.suppression_ratio,
+        model_type=args.model_type, pred=args.pred,
+        hidden_size=args.hidden_size, feature_len=args.input_spec_size,
+        win_len=args.win_len,
+    )
+    server = PredictionServer(predictor, host=args.host, port=args.port)
+    print(f"serving {args.artifact} fold{args.fold}"
+          + (f" + cloak {args.cloak}" if args.cloak else "")
+          + f" on http://{server.host}:{server.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

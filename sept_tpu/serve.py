@@ -34,7 +34,12 @@ from sept_tpu.data.device_pipeline import prepare_waves
 from sept_tpu.models import CloakNoise, build_backbone, pooling_for
 from sept_tpu.ops import frontend as F
 
-__all__ = ["Predictor", "CloakedPredictor"]
+__all__ = [
+    "Predictor",
+    "CloakedPredictor",
+    "PredictionServer",
+    "load_predictor",
+]
 
 
 class Predictor:
@@ -149,3 +154,146 @@ class CloakedPredictor(Predictor):
             self.noise_params, flat, self.mask, rngs={"noise": rng}
         )
         return out.reshape(windows.shape)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint -> predictor, and the HTTP deployment surface
+# ---------------------------------------------------------------------------
+
+_CLASS_NAMES = {
+    # label order fixed by the reference's maps (training_tools.py:9-10)
+    "emotion": ("neu", "hap", "sad", "ang"),
+    "gender": ("F", "M"),
+}
+
+
+def load_predictor(
+    output_dir: str,
+    artifact: str = "baseline_emotion",
+    fold: int = 1,
+    cloak_artifact: Optional[str] = None,
+    suppression_ratio: int = 0,
+    model_type: str = "2d-cnn-lstm",
+    pred: str = "emotion",
+    hidden_size: int = 64,
+    feature_len: int = 128,
+    win_len: int = 200,
+    shift_len: int = 50,
+    n_fft: int = 800,
+) -> Predictor:
+    """Build a serving predictor from training artifacts on disk.
+
+    ``artifact``/``fold`` name the frozen classifier checkpoint written by
+    ``cli.train_baseline``; pass ``cloak_artifact`` (a ``cli.train_cloak``
+    artifact name) to serve the privacy-preserving path — the cloak's noise
+    parameters are restored, the evaluation-direction suppression mask for
+    ``suppression_ratio`` is derived from its scales
+    (adversary_cloak_evaluation.py:262-267), and a :class:`CloakedPredictor`
+    is returned (max_scale=5, the evaluation convention :205).
+    """
+    from sept_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(output_dir)
+    state = ckpt.restore(artifact, fold)
+    common = dict(
+        model_type=model_type, pred=pred, hidden_size=hidden_size,
+        feature_len=feature_len, win_len=win_len, shift_len=shift_len,
+        n_fft=n_fft,
+    )
+    if cloak_artifact is None:
+        return Predictor(state["params"], state.get("batch_stats", {}),
+                         **common)
+
+    from sept_tpu.eval.sweep import eval_mask
+
+    cloak = ckpt.restore(cloak_artifact, fold)
+    noise_params = {
+        "locs": jnp.asarray(cloak["params"]["noise"]["locs"]),
+        "rhos": jnp.asarray(cloak["params"]["noise"]["rhos"]),
+    }
+    probe = CloakNoise(win_len=win_len, n_feats=feature_len, max_scale=5.0)
+    scales = np.asarray(
+        probe.apply({"params": noise_params}, method=CloakNoise.scales)
+    )
+    mask = eval_mask(scales, suppression_ratio)
+    return CloakedPredictor(
+        state["params"], state.get("batch_stats", {}),
+        noise_params=noise_params, mask=mask, max_scale=5.0, **common,
+    )
+
+
+class PredictionServer:
+    """Stdlib-only JSON-over-HTTP front for a :class:`Predictor`.
+
+    Routes:
+        GET  /healthz   -> {"status": "ok", "pred": ..., "cloaked": ...}
+        POST /predict   -> body {"waveforms": [[float16k samples], ...],
+                                 "seed": 0}
+                           reply {"classes": [...], "probs": [[...], ...],
+                                  "labels": [argmax class per waveform]}
+
+    Single jitted program per padded bucket shape; requests are serialized
+    through one device (TPU programs are not reentrant per process), so the
+    server is intentionally single-threaded — horizontal scale is one
+    process per chip behind any off-the-shelf HTTP balancer.
+    """
+
+    def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
+                 port: int = 0):
+        import http.server
+        import json
+
+        classes = _CLASS_NAMES[predictor.model.pred]
+        cloaked = isinstance(predictor, CloakedPredictor)
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            def _send(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok",
+                                     "pred": predictor.model.pred,
+                                     "cloaked": cloaked})
+                else:
+                    self._send(404, {"error": "unknown route"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    return self._send(404, {"error": "unknown route"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    waves = [np.asarray(w, np.float32)
+                             for w in req["waveforms"]]
+                    if not waves or any(w.ndim != 1 or not len(w)
+                                        for w in waves):
+                        raise ValueError(
+                            "waveforms must be non-empty 1-D sample lists"
+                        )
+                except (ValueError, KeyError, TypeError) as e:
+                    return self._send(400, {"error": str(e)})
+                probs = predictor.predict(waves, seed=int(req.get("seed", 0)))
+                self._send(200, {
+                    "classes": list(classes),
+                    "probs": probs.tolist(),
+                    "labels": [classes[i] for i in probs.argmax(-1)],
+                })
+
+        self._httpd = http.server.HTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()

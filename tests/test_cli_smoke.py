@@ -7,6 +7,7 @@ from sept_tpu.cli import (
     featurize,
     preprocess,
     run_all,
+    serve,
     train_baseline,
     train_cloak,
 )
@@ -21,6 +22,13 @@ def test_help_exits_zero(mod, capsys):
     assert e.value.code == 0
     out = capsys.readouterr().out
     assert "--dataset" in out
+
+
+def test_serve_help_exits_zero(capsys):
+    with pytest.raises(SystemExit) as e:
+        serve.main(["--help"])
+    assert e.value.code == 0
+    assert "--artifact" in capsys.readouterr().out
 
 
 def test_featurize_functionals_flag(tmp_path):

@@ -69,3 +69,90 @@ def test_deep_model_predictor_uses_flatten_pooling(rng):
     probs = p.predict(waves)
     assert probs.shape == (1, 4)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_http_server_routes(rng):
+    """The HTTP deployment surface: healthz, predict, and error handling."""
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    server = PredictionServer(p, port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        health = json.load(urllib.request.urlopen(f"{base}/healthz"))
+        assert health == {"status": "ok", "pred": "emotion",
+                          "cloaked": False}
+
+        waves = [rng.standard_normal(12000).tolist(),
+                 rng.standard_normal(14000).tolist()]
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"waveforms": waves}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        out = json.load(urllib.request.urlopen(req))
+        assert out["classes"] == ["neu", "hap", "sad", "ang"]
+        probs = np.asarray(out["probs"])
+        assert probs.shape == (2, 4)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        assert all(lbl in out["classes"] for lbl in out["labels"])
+        # matches the in-process API
+        direct = p.predict([np.asarray(w, np.float32) for w in waves])
+        np.testing.assert_allclose(probs, direct, atol=1e-6)
+
+        # malformed request -> 400, unknown route -> 404
+        bad = urllib.request.Request(
+            f"{base}/predict", data=json.dumps({"waveforms": []}).encode()
+        )
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(f"{base}/nope")
+            assert False, "expected HTTP 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_load_predictor_from_artifacts(rng, tmp_path):
+    """load_predictor rebuilds clean and cloaked predictors from the
+    on-disk artifact layout the training CLIs write."""
+    from sept_tpu.serve import load_predictor
+    from sept_tpu.train.checkpoint import CheckpointManager
+
+    params, stats = _trained_dummy()
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save("baseline_emotion", 1, params, stats)
+    noise = {
+        "locs": np.zeros((WIN, D), np.float32),
+        # varied scales so the percentile mask has something to suppress
+        "rhos": np.linspace(-2.0, 2.0, WIN * D,
+                            dtype=np.float32).reshape(WIN, D),
+    }
+    ckpt.save("cloak_lamda0.1_supp40", 1, {"noise": noise})
+
+    clean = load_predictor(str(tmp_path), hidden_size=8, feature_len=D,
+                           win_len=WIN)
+    cloaked = load_predictor(str(tmp_path), cloak_artifact="cloak_lamda0.1_supp40",
+                             suppression_ratio=40, hidden_size=8,
+                             feature_len=D, win_len=WIN)
+    assert isinstance(cloaked, CloakedPredictor)
+    # the eval-direction mask suppresses high-scale cells
+    assert cloaked.mask is not None and float(cloaked.mask.mean()) < 1.0
+    waves = [rng.standard_normal(12000).astype(np.float32)]
+    a, b = clean.predict(waves), cloaked.predict(waves)
+    assert a.shape == b.shape == (1, 4)
+    assert float(np.abs(a - b).max()) > 1e-5
