@@ -138,3 +138,24 @@ def test_device_ingest_pallas_bf16_frontend():
     assert a.shape == b.shape
     # znormed features: deviation stays small in absolute terms
     assert np.percentile(np.abs(a - b), 99) < 0.05
+
+
+def test_functional_extractors_on_chip():
+    """eGeMAPS + emobase batch extractors through the shared-upload combined
+    path on hardware: finite, right-shaped, and deterministic."""
+    from sept_tpu.ops.emobase import N_EMOBASE, combined_functionals_batch
+    from sept_tpu.ops.egemaps import N_GEMAPS
+
+    rng = np.random.default_rng(0)
+    waves = {
+        f"u{i}": rng.standard_normal(SR + 531 * i).astype(np.float32)
+        for i in range(4)
+    }
+    gem, emo = combined_functionals_batch(waves, batch_size=8)
+    assert set(gem) == set(emo) == set(waves)
+    for u in waves:
+        assert gem[u].shape == (N_GEMAPS,) and np.isfinite(gem[u]).all()
+        assert emo[u].shape == (N_EMOBASE,) and np.isfinite(emo[u]).all()
+    gem2, emo2 = combined_functionals_batch(waves, batch_size=8)
+    np.testing.assert_array_equal(gem["u1"], gem2["u1"])
+    np.testing.assert_array_equal(emo["u1"], emo2["u1"])
