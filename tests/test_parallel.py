@@ -317,6 +317,29 @@ def test_resolve_mesh_auto_is_single_on_cpu():
         resolve_mesh(argparse.Namespace(n_devices=8, batch_size=12))
 
 
+def test_resolve_mesh_auto_falls_back_to_dividing_count(monkeypatch):
+    """Auto mode (--n_devices 0) must never fail a previously-working
+    command: on a topology whose device count doesn't divide the batch, it
+    drops to the largest dividing count instead of exiting."""
+    import argparse
+
+    import jax
+
+    from sept_tpu.cli import common
+
+    # resolve_mesh imports jax lazily -> patching the module global works
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # 8 virtual devices, batch 12 -> 8 and 7 don't divide, 6 does
+    mesh = common.resolve_mesh(
+        argparse.Namespace(n_devices=0, batch_size=12)
+    )
+    assert mesh is not None and mesh.devices.size == 6
+    # prime batch 13 -> no count in 2..8 divides -> single-device (None)
+    assert common.resolve_mesh(
+        argparse.Namespace(n_devices=0, batch_size=13)
+    ) is None
+
+
 def test_shard_map_dp_matches_single_device():
     """Explicit psum/pmean formulation == single-device step (dropout off)."""
     from sept_tpu.parallel.shard_map_dp import make_shard_map_dp_step
