@@ -160,10 +160,14 @@ def main(argv=None):
             f"fold{k}: best epoch {result.best_epoch} "
             f"test acc {result.final_test_acc:.3f} uar {result.final_test_uar:.3f}"
         )
-    print(
-        f"{artifact_name(cfg)}: mean test acc {np.mean(accs):.3f} "
-        f"uar {np.mean(uars):.3f} over {len(accs)} folds"
-    )
+    if accs:
+        print(
+            f"{artifact_name(cfg)}: mean test acc {np.mean(accs):.3f} "
+            f"uar {np.mean(uars):.3f} over {len(accs)} folds"
+        )
+    else:
+        print(f"{artifact_name(cfg)}: all folds resumed from existing "
+              f"checkpoints, nothing trained")
     from sept_tpu.utils import RunManifest
 
     manifest = RunManifest(

@@ -247,10 +247,14 @@ def main(argv=None):
             f"fold{k}: test acc {result.final_test_acc:.3f} "
             f"uar {result.final_test_uar:.3f}"
         )
-    print(
-        f"{cloak_artifact(cfg)}: mean test acc {np.mean(accs):.3f} "
-        f"uar {np.mean(uars):.3f}"
-    )
+    if accs:
+        print(
+            f"{cloak_artifact(cfg)}: mean test acc {np.mean(accs):.3f} "
+            f"uar {np.mean(uars):.3f}"
+        )
+    else:
+        print(f"{cloak_artifact(cfg)}: all folds resumed from existing "
+              f"checkpoints, nothing trained")
 
 
 if __name__ == "__main__":
