@@ -33,24 +33,33 @@ def main(argv=None):
                    help="cloak artifact name to serve the noised path "
                         "(cli.train_cloak, e.g. cloak_grl_lamda1.0_supp40)")
     p.add_argument("--suppression_ratio", type=int, default=0)
-    p.add_argument("--model_type", default="2d-cnn-lstm")
-    p.add_argument("--pred", default="emotion")
-    p.add_argument("--hidden_size", type=int, default=64)
-    p.add_argument("--input_spec_size", type=int, default=128)
-    p.add_argument("--win_len", type=int, default=200)
+    # model knobs default to the artifact's manifest_fold<k>.json (written
+    # at training time) so the served model is built exactly as trained;
+    # pass a flag only to override
+    p.add_argument("--model_type", default=None)
+    p.add_argument("--pred", default=None)
+    p.add_argument("--att", default=None)
+    p.add_argument("--hidden_size", type=int, default=None)
+    p.add_argument("--input_spec_size", type=int, default=None)
+    p.add_argument("--win_len", type=int, default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
 
     from sept_tpu.serve import PredictionServer, load_predictor
 
+    overrides = {
+        k: v for k, v in (
+            ("model_type", args.model_type), ("pred", args.pred),
+            ("att", args.att), ("hidden_size", args.hidden_size),
+            ("feature_len", args.input_spec_size), ("win_len", args.win_len),
+        ) if v is not None
+    }
     predictor = load_predictor(
         args.output_dir, args.artifact, args.fold,
         cloak_artifact=args.cloak,
         suppression_ratio=args.suppression_ratio,
-        model_type=args.model_type, pred=args.pred,
-        hidden_size=args.hidden_size, feature_len=args.input_spec_size,
-        win_len=args.win_len,
+        **overrides,
     )
     server = PredictionServer(predictor, host=args.host, port=args.port)
     print(f"serving {args.artifact} fold{args.fold}"

@@ -113,7 +113,7 @@ def _lld(wave):
         jnp.asarray(((_freqs() >= 2500) & (_freqs() < 3500)).astype(np.float32)),
     ]
 
-    frames, spec = FN.stft_power(wave)  # (T, _NFFT), (T, n_freq)
+    frames, spec = FN.lld_stft_preamble(wave)  # (T, _NFFT), (T, n_freq)
     eps = 1e-10
 
     energy = jnp.sum(spec, axis=1)

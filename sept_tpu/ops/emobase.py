@@ -79,7 +79,7 @@ def _lsp_band_matrix() -> np.ndarray:
 def _lld(wave):
     """(n_frames, 52) emobase LLD + delta tracks for one padded waveform."""
     eps = 1e-10
-    frames, spec = FN.stft_power(wave)  # (T, _NFFT), (T, n_freq)
+    frames, spec = FN.lld_stft_preamble(wave)  # (T, _NFFT), (T, n_freq)
 
     intensity = jnp.sqrt(jnp.mean(frames**2, axis=1) + eps)
     loud = 10.0 * jnp.log10(jnp.sum(spec, axis=1) + eps)

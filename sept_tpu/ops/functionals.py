@@ -25,7 +25,7 @@ __all__ = [
     "NFFT",
     "HOP",
     "NFREQ",
-    "stft_power",
+    "lld_stft_preamble",
     "n_frames",
     "bucket_indices",
     "chunked_wave_batches",
@@ -62,7 +62,7 @@ def n_frames(n_samples: int, nfft: int = NFFT, hop: int = HOP) -> int:
     return max(1, 1 + (n_samples - nfft) // hop)
 
 
-def stft_power(wave, nfft: int = NFFT, hop: int = HOP):
+def lld_stft_preamble(wave, nfft: int = NFFT, hop: int = HOP):
     """(frames, power spectrum) of one padded waveform on the shared grid.
 
     The LLD preamble common to both functional extractors: uncentered

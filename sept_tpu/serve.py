@@ -57,8 +57,12 @@ class Predictor:
         shift_len: int = 50,
         n_fft: int = 800,
         norm_stats: Optional[tuple] = None,
+        att: Optional[str] = None,
+        attention_size: int = 128,
     ):
-        self.model = build_backbone(model_type, hidden_size=hidden_size, pred=pred)
+        self.model = build_backbone(model_type, hidden_size=hidden_size,
+                                    pred=pred, att=att,
+                                    attention_size=attention_size)
         self.pooling = pooling_for(model_type)
         self.params = params
         self.batch_stats = batch_stats
@@ -122,16 +126,36 @@ class Predictor:
         )
 
     def predict(self, waveforms: list[np.ndarray], seed: int = 0) -> np.ndarray:
-        """list of 16 kHz float32 waveforms -> (B, n_classes) probabilities."""
+        """list of 16 kHz float32 waveforms -> (B, n_classes) probabilities.
+
+        Shapes are BUCKETED before jit: the padded frame count rounds up to
+        a ``win_len`` multiple and the batch rows to a power of two, so
+        arbitrary client input compiles O(log) distinct programs instead of
+        one per (batch, length) pair — compiles cost minutes on a tunneled
+        chip, and the HTTP server would otherwise stall on every novel
+        shape.  Pad rows/frames are masked out of the vote, so results are
+        identical to the exact-shape program.
+        """
+        from sept_tpu.ops.functionals import pow2_rows
+
         padded, n_frames = prepare_waves(waveforms, self.n_fft)
+        max_t = int(n_frames.max())
+        max_t_b = max(1, -(-max_t // self.win_len)) * self.win_len
+        # samples needed so the framer can produce max_t_b frames
+        need = (max_t_b - 1) * 160 + self.n_fft
+        rows = pow2_rows(len(waveforms), max(64, len(waveforms)))
+        buf = np.zeros((rows, max(padded.shape[1], need)), np.float32)
+        buf[: len(waveforms), : padded.shape[1]] = padded
+        nf = np.ones(rows, np.int32)
+        nf[: len(waveforms)] = n_frames
         return np.asarray(
             self._predict(
-                jnp.asarray(padded),
-                jnp.asarray(n_frames),
-                max_t=int(n_frames.max()),
+                jnp.asarray(buf),
+                jnp.asarray(nf),
+                max_t=max_t_b,
                 rng=jax.random.PRNGKey(seed),
             )
-        )
+        )[: len(waveforms)]
 
 
 class CloakedPredictor(Predictor):
@@ -173,33 +197,68 @@ def load_predictor(
     fold: int = 1,
     cloak_artifact: Optional[str] = None,
     suppression_ratio: int = 0,
-    model_type: str = "2d-cnn-lstm",
-    pred: str = "emotion",
-    hidden_size: int = 64,
-    feature_len: int = 128,
-    win_len: int = 200,
-    shift_len: int = 50,
     n_fft: int = 800,
+    **overrides,
 ) -> Predictor:
     """Build a serving predictor from training artifacts on disk.
 
     ``artifact``/``fold`` name the frozen classifier checkpoint written by
-    ``cli.train_baseline``; pass ``cloak_artifact`` (a ``cli.train_cloak``
-    artifact name) to serve the privacy-preserving path — the cloak's noise
-    parameters are restored, the evaluation-direction suppression mask for
-    ``suppression_ratio`` is derived from its scales
-    (adversary_cloak_evaluation.py:262-267), and a :class:`CloakedPredictor`
-    is returned (max_scale=5, the evaluation convention :205).
+    ``cli.train_baseline``.  The model architecture (model_type, pred,
+    hidden_size, feature_len, win_len, att, attention_size) is read from the
+    ``manifest_fold<k>.json`` the trainer wrote next to the checkpoint, so a
+    served model is BUILT exactly as it was trained — a hidden-size or
+    attention mismatch would otherwise fail opaquely (or, for attention,
+    silently serve without the trained pooling path).  Keyword ``overrides``
+    take precedence over the manifest; without a manifest the framework
+    defaults apply.
+
+    Pass ``cloak_artifact`` (a ``cli.train_cloak`` artifact name) to serve
+    the privacy-preserving path — the cloak's noise parameters are restored,
+    the evaluation-direction suppression mask for ``suppression_ratio`` is
+    derived from its scales (adversary_cloak_evaluation.py:262-267), and a
+    :class:`CloakedPredictor` is returned (max_scale=5, the evaluation
+    convention :205).
     """
+    import json
+    import os
+
     from sept_tpu.train.checkpoint import CheckpointManager
+
+    mcfg = {}
+    mpath = os.path.join(output_dir, artifact, f"manifest_fold{fold}.json")
+    if os.path.isfile(mpath):
+        with open(mpath) as f:
+            mcfg = json.load(f).get("config", {})
+
+    def knob(name, default):
+        if name in overrides:
+            return overrides.pop(name)
+        return mcfg.get(name, default)
+
+    win_len = int(knob("win_len", 200))
+    common = dict(
+        model_type=knob("model_type", "2d-cnn-lstm"),
+        pred=knob("pred", "emotion"),
+        hidden_size=int(knob("hidden_size", 64)),
+        feature_len=int(knob("feature_len", 128)),
+        win_len=win_len,
+        shift_len=int(overrides.pop("shift_len", win_len // 4)),
+        att=knob("att", None),
+        attention_size=int(knob("attention_size", 128)),
+        n_fft=n_fft,
+    )
+    if overrides:
+        raise TypeError(f"unknown load_predictor overrides: {sorted(overrides)}")
+    if mcfg.get("global_feature"):
+        raise ValueError(
+            f"{artifact} was trained with global_feature=1 (gemaps concat); "
+            "the serving path computes windowed spectral features only — "
+            "evaluate such artifacts with cli.evaluate, or retrain with "
+            "--global_feature 0 to serve"
+        )
 
     ckpt = CheckpointManager(output_dir)
     state = ckpt.restore(artifact, fold)
-    common = dict(
-        model_type=model_type, pred=pred, hidden_size=hidden_size,
-        feature_len=feature_len, win_len=win_len, shift_len=shift_len,
-        n_fft=n_fft,
-    )
     if cloak_artifact is None:
         return Predictor(state["params"], state.get("batch_stats", {}),
                          **common)
@@ -211,7 +270,8 @@ def load_predictor(
         "locs": jnp.asarray(cloak["params"]["noise"]["locs"]),
         "rhos": jnp.asarray(cloak["params"]["noise"]["rhos"]),
     }
-    probe = CloakNoise(win_len=win_len, n_feats=feature_len, max_scale=5.0)
+    probe = CloakNoise(win_len=win_len, n_feats=common["feature_len"],
+                       max_scale=5.0)
     scales = np.asarray(
         probe.apply({"params": noise_params}, method=CloakNoise.scales)
     )
@@ -279,9 +339,16 @@ class PredictionServer:
                         raise ValueError(
                             "waveforms must be non-empty 1-D sample lists"
                         )
+                    seed = int(req.get("seed", 0) or 0)
                 except (ValueError, KeyError, TypeError) as e:
                     return self._send(400, {"error": str(e)})
-                probs = predictor.predict(waves, seed=int(req.get("seed", 0)))
+                try:
+                    probs = predictor.predict(waves, seed=seed)
+                except Exception as e:  # any model/backend failure -> 500,
+                    # never a dropped connection with no HTTP response
+                    return self._send(
+                        500, {"error": f"{type(e).__name__}: {e}"}
+                    )
                 self._send(200, {
                     "classes": list(classes),
                     "probs": probs.tolist(),

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sept_tpu.models import Conv2dBiRNN
 from sept_tpu.serve import CloakedPredictor, Predictor
@@ -156,3 +157,106 @@ def test_load_predictor_from_artifacts(rng, tmp_path):
     a, b = clean.predict(waves), cloaked.predict(waves)
     assert a.shape == b.shape == (1, 4)
     assert float(np.abs(a - b).max()) > 1e-5
+
+
+def test_http_bad_seed_and_internal_error_are_http_errors(rng):
+    """Parseable-but-invalid requests must get a 400 and model failures a
+    500 — never a dropped connection with no HTTP response."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    server = PredictionServer(p, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    wave = rng.standard_normal(12000).tolist()
+    try:
+        for bad_seed in ("abc", [1]):
+            req = urllib.request.Request(
+                f"{base}/predict",
+                data=json.dumps({"waveforms": [wave],
+                                 "seed": bad_seed}).encode(),
+            )
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+
+        # an internal predictor failure surfaces as a JSON 500
+        p.params = {"broken": jnp.zeros((1,))}
+        req = urllib.request.Request(
+            f"{base}/predict", data=json.dumps({"waveforms": [wave]}).encode()
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "error" in json.load(e)
+    finally:
+        server.shutdown()
+
+
+def test_predict_bucketing_is_transparent(rng):
+    """Shape bucketing (frames to win_len multiples, rows to powers of two)
+    must not change the predictions: a waveform scores identically alone and
+    inside a mixed-length batch."""
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    w1 = rng.standard_normal(12000).astype(np.float32)
+    w2 = rng.standard_normal(17500).astype(np.float32)
+    w3 = rng.standard_normal(9000).astype(np.float32)
+    alone = p.predict([w1])
+    batched = p.predict([w1, w2, w3])
+    assert batched.shape == (3, 4)
+    np.testing.assert_allclose(alone[0], batched[0], atol=1e-5)
+
+
+def test_load_predictor_reads_training_manifest(rng, tmp_path):
+    """With no overrides, load_predictor builds the model from the
+    manifest_fold<k>.json written at training time (a mismatch would fail
+    opaquely or silently drop the trained attention pooling)."""
+    import json
+
+    from sept_tpu.models import Conv2dBiRNN
+    from sept_tpu.serve import load_predictor
+    from sept_tpu.train.checkpoint import CheckpointManager
+
+    model = Conv2dBiRNN(hidden_size=16, pred="gender")
+    x = jnp.zeros((1, WIN, D, 1))
+    v = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
+
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save("adv_baseline_gender", 2, v["params"], v["batch_stats"])
+    with open(tmp_path / "adv_baseline_gender" / "manifest_fold2.json",
+              "w") as f:
+        json.dump({"config": {"model_type": "2d-cnn-lstm", "pred": "gender",
+                              "hidden_size": 16, "feature_len": D,
+                              "win_len": WIN, "att": None,
+                              "attention_size": 128,
+                              "global_feature": False}}, f)
+
+    p = load_predictor(str(tmp_path), "adv_baseline_gender", 2)
+    assert p.model.hidden_size == 16 and p.model.pred == "gender"
+    assert p.win_len == WIN and p.feature_len == D
+    probs = p.predict([rng.standard_normal(12000).astype(np.float32)])
+    assert probs.shape == (1, 2)  # gender head
+
+    # a global_feature=1 manifest is refused with a clear error
+    with open(tmp_path / "adv_baseline_gender" / "manifest_fold2.json",
+              "w") as f:
+        json.dump({"config": {"global_feature": True}}, f)
+    with pytest.raises(ValueError, match="global_feature"):
+        load_predictor(str(tmp_path), "adv_baseline_gender", 2)
+    # unknown override names are rejected, not silently ignored
+    with pytest.raises(TypeError, match="unknown"):
+        load_predictor(str(tmp_path), "adv_baseline_gender", 2,
+                       hidden_sizes=32)
