@@ -27,6 +27,16 @@ sweep replaces.  The EVALUATION protocol is the reference's, unmodified.
 Success direction: adversary (gender) UAR driven to chance (0.5) at some
 ratio while emotion UAR retains most of its clean value.
 
+Reading the sweep: the evaluation mask zeroes cells whose trained scale
+exceeds percentile(ratio) (adversary_cloak_evaluation.py:262-267), so a
+LOWER ratio suppresses MORE cells — ratio 20 replaces ~80% of feature
+cells with the learned locs, ratio 80 only ~20%, and ratio 0 applies no
+mask at all (full noise, features intact).  Adversary UAR therefore rises
+with ratio (fewer cells replaced -> more gender information survives)
+while the ratio-matched locs keep emotion UAR near clean everywhere —
+suppression, not the Gaussian noise alone, is what destroys the
+adversary, which is exactly the paper's mechanism.
+
 Writes benchmarks/privacy_demo.json + benchmarks/privacy_sweep.csv.
 Run time: ~45-75 min on one chip (5 folds x 7 trainings + sweep).
 """
