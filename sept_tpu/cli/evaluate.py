@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sept_tpu.cli.common import add_common_args, config_from_args, setup_seed
+from sept_tpu.cli.common import (
+    add_common_args,
+    config_from_args,
+    resolve_mesh,
+    setup_seed,
+)
 
 
 def main(argv=None):
@@ -30,6 +35,7 @@ def main(argv=None):
     p.add_argument("--ratios", type=int, nargs="*", default=[0, 20, 40, 60, 80])
     args = p.parse_args(argv)
     setup_seed(args.seed)
+    mesh = resolve_mesh(args)  # --n_devices: shard test batches over a mesh
     cfg = config_from_args(args, grl=bool(args.grl))
     cfg.noise_max_scale = 5.0  # eval-time max scale (:205)
 
@@ -96,7 +102,7 @@ def main(argv=None):
             b, a = evaluate_cloaked_test(
                 noise_apply, emo_logits, adv_logits, fold.test, mask_j,
                 win_len=cfg.win_len, shift_len=cfg.shift_len,
-                noise_seed=cfg.seed,
+                noise_seed=cfg.seed, mesh=mesh,
             )
             fold_results.append((b, a))
             print(

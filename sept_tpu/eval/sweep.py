@@ -60,14 +60,23 @@ def evaluate_cloaked_test(
     shift_len: int = 50,
     batch_size: int = 16,
     noise_seed: int = 8,
+    mesh=None,
 ) -> tuple[dict, dict]:
     """Run the cloak -> frozen-models evaluation protocol on one test split.
 
     ``noise_apply(spec_windows (N, T, D, 1), mask, rng) -> noised windows``;
     the logits fns map (N, win_len, D, 1) windows to logits.  Returns
     (baseline_result, adversary_result) dicts with acc/uar/conf.
+
+    ``mesh``: optional 1-D data mesh — test utterances are sharded on the
+    batch axis and the vote runs SPMD (the program is a pure map, so XLA
+    partitions the forward and replicates the closed-over frozen weights;
+    no collectives are needed).  Numerics are unchanged vs single-device.
     """
     rng = jax.random.PRNGKey(noise_seed)
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        batch_size = -(-batch_size // n_dev) * n_dev  # divisible by mesh
 
     # ONE pass: noise each window once, feed BOTH frozen models, per-head
     # softmax inside the vote (reference computes noisy once and runs both,
@@ -96,6 +105,12 @@ def evaluate_cloaked_test(
                 [specs, np.zeros((pad,) + specs.shape[1:], specs.dtype)]
             )
             lengths = np.concatenate([lengths, np.full(pad, win_len, np.int32)])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            row = NamedSharding(mesh, P("data"))
+            specs = jax.device_put(jnp.asarray(specs), row)
+            lengths = jax.device_put(jnp.asarray(lengths), row)
         p, _ = vote(None, None, specs, lengths, None)
         p = np.asarray(p)
         emo_preds.append(np.argmax(p[: hi - lo, :n_emo], -1))

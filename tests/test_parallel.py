@@ -366,3 +366,58 @@ def test_shard_map_dp_matches_single_device():
     assert float(m_dp["count"]) == 13.0
     for a, c in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_dp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-6)
+
+
+def test_dp_evaluation_sweep_matches_single_device():
+    """evaluate_cloaked_test under the 8-device mesh must produce the same
+    metrics as single-device: the vote is a pure map, so batch sharding +
+    replicated closure weights is numerically invisible."""
+    from sept_tpu.data.pipeline import SplitArrays
+    from sept_tpu.eval.sweep import evaluate_cloaked_test
+    from sept_tpu.models import CloakNoise
+    from sept_tpu.train import make_eval_logits_fn
+
+    win, maxt, n = 20, 60, 12
+    model = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    adv = Conv2dBiRNN(hidden_size=8, pred="gender")
+    x0 = jnp.zeros((1, win, D, 1))
+    vm = jax.jit(model.init)({"params": KEY}, x0)
+    va = jax.jit(adv.init)({"params": jax.random.PRNGKey(1)}, x0)
+    emo_fn = make_eval_logits_fn(model, pooling="mean")
+    adv_fn = make_eval_logits_fn(adv, pooling="mean")
+
+    noise = CloakNoise(win_len=win, n_feats=D, max_scale=5.0)
+    nparams = {"params": {
+        "locs": jnp.zeros((win, D)),
+        "rhos": jnp.linspace(-2, 2, win * D).reshape(win, D),
+    }}
+
+    def noise_apply(wins, m, rng):
+        return noise.apply(nparams, wins[..., 0], m, rngs={"noise": rng})[..., None]
+
+    rng = np.random.default_rng(0)
+    test = SplitArrays(
+        windows=rng.standard_normal((n, maxt, D)).astype(np.float32),
+        labels_emo=(np.arange(n) % 4).astype(np.int32),
+        labels_gen=(np.arange(n) % 2).astype(np.int32),
+        lengths=np.linspace(win, maxt, n).astype(np.int32),
+        global_data=np.zeros((n, 88), np.float32),
+        speaker_ids=np.asarray([f"s{i}" for i in range(n)], object),
+        datasets=np.asarray(["synthetic"] * n, object),
+        utt_ids=np.asarray([f"u{i}" for i in range(n)], object),
+    )
+    mask = jnp.asarray((np.arange(win * D).reshape(win, D) % 3 == 0)
+                       .astype(np.float32))
+
+    def run(mesh):
+        return evaluate_cloaked_test(
+            noise_apply,
+            lambda w, g: emo_fn(vm["params"], vm["batch_stats"], w, g),
+            lambda w, g: adv_fn(va["params"], va["batch_stats"], w, g),
+            test, mask, win_len=win, shift_len=5, batch_size=8, mesh=mesh,
+        )
+    b1, a1 = run(None)
+    b8, a8 = run(make_mesh(8))
+    assert b1["acc"] == b8["acc"] and b1["rec"] == b8["rec"]
+    assert a1["acc"] == a8["acc"] and a1["rec"] == a8["rec"]
+    np.testing.assert_array_equal(b1["conf"], b8["conf"])
