@@ -132,3 +132,46 @@ def test_crash_window_leaves_consistent_checkpoint(tmp_path, monkeypatch):
     dirs = {d for d in os.listdir(mid.path)
             if os.path.isdir(os.path.join(mid.path, d))}
     assert dirs == {"state_e1", "best_e1"}
+
+
+def test_resume_under_mesh_reproduces_uninterrupted_run(tmp_path, monkeypatch):
+    """Mid-fold resume composes with data parallelism: a replicated state
+    Orbax-saved mid-fold restores device-agnostically and is re-replicated
+    over the mesh, continuing the identical trajectory."""
+    from sept_tpu.parallel import make_mesh
+    from sept_tpu.train.midfold import MidFoldCheckpoint
+
+    mesh = make_mesh(8)
+
+    def run(cfg, resume_path=None):
+        model = Conv2dBiRNN(hidden_size=8, pred="emotion", dropout_rate=0.0,
+                            bn_axis_name="data")
+        tx = make_optimizer(cfg, steps_per_epoch=2)
+        tr, va, te = _split(32, 0), _split(16, 1), _split(8, 2)
+        b0 = {"spec": jnp.asarray(tr.windows[:16])[..., None],
+              "labels_emo": jnp.asarray(tr.labels_emo[:16]),
+              "labels_gen": jnp.asarray(tr.labels_gen[:16]),
+              "global": jnp.zeros((16, 88)), "weight": jnp.ones(16)}
+        state = init_state(model, tx, KEY, b0)
+        return fit_device(state, model, tx, tr, va, te, cfg,
+                          make_eval_logits_fn(model), verbose=False,
+                          mesh=mesh, resume_path=resume_path)
+
+    kw = dict(optimizer="sgd", learning_rate=1e-3, hidden_size=8,
+              batch_size=16, win_len=T, min_select_epoch=0, weight_decay=0.0)
+    ref = run(ExperimentConfig(num_epochs=4, **kw))
+
+    mid_dir = str(tmp_path / "mid_dp")
+    monkeypatch.setattr(MidFoldCheckpoint, "delete", lambda self: None)
+    run(ExperimentConfig(num_epochs=2, **kw), resume_path=mid_dir)
+    monkeypatch.undo()
+    assert MidFoldCheckpoint(mid_dir).exists()
+
+    res = run(ExperimentConfig(num_epochs=4, **kw), resume_path=mid_dir)
+    assert len(res.history) == 4
+    for h_ref, h_res in zip(ref.history, res.history):
+        assert h_res["train"]["loss"] == pytest.approx(
+            h_ref["train"]["loss"], rel=1e-6
+        )
+    assert res.final_test_acc == pytest.approx(ref.final_test_acc, abs=1e-9)
+    assert res.best_epoch == ref.best_epoch
