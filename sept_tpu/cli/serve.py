@@ -46,6 +46,11 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
 
+    from sept_tpu.cli.common import enable_compile_cache, setup_seed
+
+    setup_seed()  # honors JAX_PLATFORMS=cpu before first backend use
+    enable_compile_cache()  # serve compiles are the startup cost
+
     from sept_tpu.serve import PredictionServer, load_predictor
 
     overrides = {

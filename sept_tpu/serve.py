@@ -292,16 +292,21 @@ class PredictionServer:
                            reply {"classes": [...], "probs": [[...], ...],
                                   "labels": [argmax class per waveform]}
 
-    Single jitted program per padded bucket shape; requests are serialized
-    through one device (TPU programs are not reentrant per process), so the
-    server is intentionally single-threaded — horizontal scale is one
-    process per chip behind any off-the-shelf HTTP balancer.
+    Single jitted program per padded bucket shape.  Connections are handled
+    on threads but /predict calls are serialized through one device lock
+    (TPU programs are not reentrant per process) — so /healthz stays
+    responsive while a request computes or pays a novel-shape compile,
+    instead of a balancer marking the instance dead.  Horizontal scale is
+    one process per chip behind any off-the-shelf HTTP balancer.
     """
 
     def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
                  port: int = 0):
         import http.server
         import json
+        import threading
+
+        device_lock = threading.Lock()
 
         classes = _CLASS_NAMES[predictor.model.pred]
         cloaked = isinstance(predictor, CloakedPredictor)
@@ -343,7 +348,8 @@ class PredictionServer:
                 except (ValueError, KeyError, TypeError) as e:
                     return self._send(400, {"error": str(e)})
                 try:
-                    probs = predictor.predict(waves, seed=seed)
+                    with device_lock:
+                        probs = predictor.predict(waves, seed=seed)
                 except Exception as e:  # any model/backend failure -> 500,
                     # never a dropped connection with no HTTP response
                     return self._send(
@@ -355,7 +361,8 @@ class PredictionServer:
                     "labels": [classes[i] for i in probs.argmax(-1)],
                 })
 
-        self._httpd = http.server.HTTPServer((host, port), Handler)
+        self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
         self.host, self.port = self._httpd.server_address[:2]
 
     def serve_forever(self):

@@ -260,3 +260,51 @@ def test_load_predictor_reads_training_manifest(rng, tmp_path):
     with pytest.raises(TypeError, match="unknown"):
         load_predictor(str(tmp_path), "adv_baseline_gender", 2,
                        hidden_sizes=32)
+
+
+def test_healthz_responsive_while_predict_holds_the_device(rng):
+    """/predict runs under a device lock on a threading server, so /healthz
+    answers while a slow prediction (or a novel-shape compile) is in
+    flight."""
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    slow_started = threading.Event()
+
+    real_predict = p.predict
+
+    def slow_predict(waves, seed=0):
+        slow_started.set()
+        time.sleep(1.5)
+        return real_predict(waves, seed)
+
+    p.predict = slow_predict
+    server = PredictionServer(p, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    wave = rng.standard_normal(12000).tolist()
+    try:
+        slow = threading.Thread(
+            target=urllib.request.urlopen,
+            args=(urllib.request.Request(
+                f"{base}/predict",
+                data=json.dumps({"waveforms": [wave]}).encode()),),
+            daemon=True,
+        )
+        slow.start()
+        assert slow_started.wait(10)
+        t0 = time.perf_counter()
+        health = json.load(urllib.request.urlopen(f"{base}/healthz"))
+        dt = time.perf_counter() - t0
+        assert health["status"] == "ok"
+        assert dt < 1.0, f"healthz blocked for {dt:.2f}s behind /predict"
+        slow.join(30)
+    finally:
+        server.shutdown()
