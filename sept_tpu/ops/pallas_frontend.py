@@ -24,12 +24,16 @@ The input waveform must be host reflect-padded at its true boundary
 Grid: (frame-tiles,) over the flattened (batch * frames) axis.
 
 Status / measurements (TPU v5e via the axon tunnel, 2026-08-16): compiles
-through Mosaic, parity 2.2e-4 dB vs the jnp HIGHEST-precision path.  The
-XLA-fused GEMM chain (sept_tpu.data.device_pipeline / featurize) remains the
-production default: XLA already fuses window/power/log into the DFT GEMMs,
-pipelines constant operands across tiles, and benchmarked faster end-to-end
-on this hardware.  This kernel is kept as the hand-fused alternative and the
-substrate for future work (bf16 throughput mode, fused top_db reduction).
+through Mosaic; f32 parity 2.2e-4 dB vs the jnp HIGHEST-precision path.  In
+f32 the XLA-fused GEMM chain (sept_tpu.data.device_pipeline / featurize)
+remains the parity default — XLA already fuses window/power/log into the
+DFT GEMMs and pipelines constant operands across tiles.  The
+``dtype=bfloat16`` throughput mode (bf16 MXU GEMMs, f32 accumulation)
+measured 1.47x the XLA f32 chain on-device (~6e-2 dB p99 vs the oracle) and
+is the opt-in ``device_ingest(frontend="pallas_bf16")`` path;
+``pallas_mfcc`` fuses the top_db floor + DCT as a second VMEM kernel.
+Numbers and the decision record: docs/ARCHITECTURE.md section 5b; hardware
+regression tests: tests_tpu/.
 """
 
 from __future__ import annotations
