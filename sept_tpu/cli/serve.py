@@ -38,7 +38,9 @@ def main(argv=None):
     # pass a flag only to override
     p.add_argument("--model_type", default=None)
     p.add_argument("--pred", default=None)
-    p.add_argument("--att", default=None)
+    p.add_argument("--att", default=None,
+                   help="attention pooling override; pass 'none' to force "
+                        "mean pooling over a manifest value")
     p.add_argument("--hidden_size", type=int, default=None)
     p.add_argument("--input_spec_size", type=int, default=None)
     p.add_argument("--win_len", type=int, default=None)
@@ -46,10 +48,11 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
 
-    from sept_tpu.cli.common import enable_compile_cache, setup_seed
+    from sept_tpu.cli.common import setup_seed
 
-    setup_seed()  # honors JAX_PLATFORMS=cpu before first backend use
-    enable_compile_cache()  # serve compiles are the startup cost
+    # honors JAX_PLATFORMS=cpu before first backend use and enables the
+    # persistent compile cache (serve compiles are the startup cost)
+    setup_seed()
 
     from sept_tpu.serve import PredictionServer, load_predictor
 
@@ -60,6 +63,8 @@ def main(argv=None):
             ("feature_len", args.input_spec_size), ("win_len", args.win_len),
         ) if v is not None
     }
+    if overrides.get("att", "").lower() == "none":
+        overrides["att"] = None  # explicit mean-pooling override
     predictor = load_predictor(
         args.output_dir, args.artifact, args.fold,
         cloak_artifact=args.cloak,

@@ -71,12 +71,18 @@ def evaluate_cloaked_test(
     ``mesh``: optional 1-D data mesh — test utterances are sharded on the
     batch axis and the vote runs SPMD (the program is a pure map, so XLA
     partitions the forward and replicates the closed-over frozen weights;
-    no collectives are needed).  Numerics are unchanged vs single-device.
+    no collectives are needed).  Numerics are unchanged vs single-device
+    for ANY mesh size: batch boundaries stay at ``batch_size`` (shifting
+    them would reassign each utterance's position-dependent noise draw) and
+    only PAD rows are appended to reach a device multiple — appended rows
+    sit after the real rows in the flat PRNG index space, so the real
+    rows' draws are untouched.
     """
     rng = jax.random.PRNGKey(noise_seed)
+    pad_to = batch_size
     if mesh is not None:
         n_dev = int(mesh.devices.size)
-        batch_size = -(-batch_size // n_dev) * n_dev  # divisible by mesh
+        pad_to = -(-batch_size // n_dev) * n_dev
 
     # ONE pass: noise each window once, feed BOTH frozen models, per-head
     # softmax inside the vote (reference computes noisy once and runs both,
@@ -97,7 +103,7 @@ def evaluate_cloaked_test(
     n = len(test)
     for lo in range(0, n, batch_size):
         hi = min(lo + batch_size, n)
-        pad = batch_size - (hi - lo)
+        pad = pad_to - (hi - lo)
         specs = test.windows[lo:hi]
         lengths = test.lengths[lo:hi]
         if pad:

@@ -86,10 +86,13 @@ class Predictor:
         return jax.vmap(one)(padded)[:, :n_frames_max]
 
     def _normalize(self, feats, frame_valid):
+        m = frame_valid[..., None]
         if self.norm_stats is not None:
             mean, std = self.norm_stats
-            return (feats - mean) / (std + 1e-5)
-        m = frame_valid[..., None]
+            # mask pad frames like the per-utterance branch: bucketing pads
+            # the frame axis, and unmasked normalized dB-of-silence would
+            # leak into window 0 of short utterances
+            return ((feats - mean) / (std + 1e-5)) * m
         count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
         mean = jnp.sum(feats * m, axis=1, keepdims=True) / count
         var = jnp.sum(((feats - mean) ** 2) * m, axis=1, keepdims=True) / count
@@ -106,8 +109,8 @@ class Predictor:
             jax.lax.broadcasted_iota(jnp.int32, (b, max_t), 1) < n_frames[:, None]
         ).astype(jnp.float32)
         feats = self._normalize(feats, valid)
-        if max_t < self.win_len:
-            feats = jnp.pad(feats, ((0, 0), (0, self.win_len - max_t), (0, 0)))
+        # predict() always buckets max_t up to a win_len multiple
+        assert max_t >= self.win_len and max_t % self.win_len == 0, max_t
         n_win = max(0, (feats.shape[1] - self.win_len) // self.shift_len) + 1
         starts = jnp.arange(n_win) * self.shift_len
         idx = starts[:, None] + jnp.arange(self.win_len)[None, :]
@@ -136,16 +139,20 @@ class Predictor:
         shape.  Pad rows/frames are masked out of the vote, so results are
         identical to the exact-shape program.
         """
-        from sept_tpu.ops.functionals import pow2_rows
-
         padded, n_frames = prepare_waves(waveforms, self.n_fft)
         max_t = int(n_frames.max())
         max_t_b = max(1, -(-max_t // self.win_len)) * self.win_len
-        # samples needed so the framer can produce max_t_b frames
+        # sample width is ALWAYS the bucketed frame count's requirement —
+        # cropping is lossless (trailing < hop samples yield no new frame)
+        # and never letting the raw wave length through keeps the jit shape
+        # a pure function of (rows bucket, frame bucket)
         need = (max_t_b - 1) * 160 + self.n_fft
-        rows = pow2_rows(len(waveforms), max(64, len(waveforms)))
-        buf = np.zeros((rows, max(padded.shape[1], need)), np.float32)
-        buf[: len(waveforms), : padded.shape[1]] = padded
+        rows = 1
+        while rows < len(waveforms):  # next power of two, unbounded
+            rows *= 2
+        buf = np.zeros((rows, need), np.float32)
+        w = min(padded.shape[1], need)
+        buf[: len(waveforms), :w] = padded[:, :w]
         nf = np.ones(rows, np.int32)
         nf[: len(waveforms)] = n_frames
         return np.asarray(

@@ -409,15 +409,24 @@ def test_dp_evaluation_sweep_matches_single_device():
     mask = jnp.asarray((np.arange(win * D).reshape(win, D) % 3 == 0)
                        .astype(np.float32))
 
-    def run(mesh):
+    def run(mesh, batch_size=8):
         return evaluate_cloaked_test(
             noise_apply,
             lambda w, g: emo_fn(vm["params"], vm["batch_stats"], w, g),
             lambda w, g: adv_fn(va["params"], va["batch_stats"], w, g),
-            test, mask, win_len=win, shift_len=5, batch_size=8, mesh=mesh,
+            test, mask, win_len=win, shift_len=5, batch_size=batch_size,
+            mesh=mesh,
         )
     b1, a1 = run(None)
     b8, a8 = run(make_mesh(8))
     assert b1["acc"] == b8["acc"] and b1["rec"] == b8["rec"]
     assert a1["acc"] == a8["acc"] and a1["rec"] == a8["rec"]
     np.testing.assert_array_equal(b1["conf"], b8["conf"])
+
+    # mesh size NOT dividing batch_size: batch boundaries must stay at
+    # batch_size (shifting them would reassign each utterance's
+    # position-dependent noise draw) — only pad rows are appended
+    b1, a1 = run(None, batch_size=5)
+    b8, a8 = run(make_mesh(8), batch_size=5)
+    assert b1["acc"] == b8["acc"] and b1["rec"] == b8["rec"]
+    assert a1["acc"] == a8["acc"] and a1["rec"] == a8["rec"]

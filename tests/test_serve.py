@@ -308,3 +308,43 @@ def test_healthz_responsive_while_predict_holds_the_device(rng):
         slow.join(30)
     finally:
         server.shutdown()
+
+
+def test_bucketing_shape_is_pure_function_of_buckets(rng):
+    """The jit shape must depend only on (row bucket, frame bucket): raw
+    sample lengths inside one bucket — including lengths whose frame count
+    already sits on a win_len multiple — reuse one compiled program."""
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    # the jit cache hangs off the CLASS (one decorated method object), so
+    # measure deltas — other tests may already have populated it
+    base = p._predict._cache_size()
+    # WIN=60 frames -> bucket boundary at 60 frames = 9440..9599 samples
+    # (hop 160): every length here lands in the same (1 row, 60 frame)
+    # bucket even though the raw padded widths differ
+    for n in (9441, 9500, 9598, 8000, 9300):
+        p.predict([rng.standard_normal(n).astype(np.float32)])
+    assert p._predict._cache_size() == base + 1
+    # 65 waves -> row bucket 128 (power of two above the old 64 cap)
+    p.predict([rng.standard_normal(9000).astype(np.float32)
+               for _ in range(65)])
+    assert p._predict._cache_size() == base + 2
+
+
+def test_norm_stats_path_masks_pad_frames(rng):
+    """With fixed corpus norm stats, bucketing pads the frame axis; the pad
+    frames must be masked to zero exactly like the per-utterance branch, or
+    normalized dB-of-silence leaks into window 0 of short utterances."""
+    params, stats = _trained_dummy()
+    kw = dict(hidden_size=8, feature_len=D, win_len=WIN, shift_len=15,
+              norm_stats=(np.zeros((D,), np.float32),
+                          np.ones((D,), np.float32)))
+    p = Predictor(params, stats, **kw)
+    w = rng.standard_normal(6000).astype(np.float32)  # ~38 frames < WIN
+    alone = p.predict([w])
+    # same wave inside a batch with a longer one (bigger frame bucket):
+    # identical probabilities for the short wave
+    longer = rng.standard_normal(18000).astype(np.float32)
+    batched = Predictor(params, stats, **kw).predict([w, longer])
+    np.testing.assert_allclose(alone[0], batched[0], atol=1e-5)
