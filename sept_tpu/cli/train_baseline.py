@@ -160,6 +160,11 @@ def main(argv=None):
             f"fold{k}: best epoch {result.best_epoch} "
             f"test acc {result.final_test_acc:.3f} uar {result.final_test_uar:.3f}"
         )
+    _print_summary(cfg, accs, uars)
+    _write_run_manifest(cfg, accs, uars, args)
+
+
+def _print_summary(cfg, accs, uars):
     if accs:
         print(
             f"{artifact_name(cfg)}: mean test acc {np.mean(accs):.3f} "
@@ -168,6 +173,9 @@ def main(argv=None):
     else:
         print(f"{artifact_name(cfg)}: all folds resumed from existing "
               f"checkpoints, nothing trained")
+
+
+def _write_run_manifest(cfg, accs, uars, args):
     from sept_tpu.utils import RunManifest
 
     manifest = RunManifest(
