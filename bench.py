@@ -158,14 +158,14 @@ def main():
     # MFU: XLA-counted FLOPs of ONE train step x n_batches / elapsed / peak.
     # (cost_analysis on the scanned epoch counts the scan body once, not
     # x n_batches, so the per-step program is the honest FLOP source.)
-    mfu = None
+    flops = None
     try:
         from sept_tpu.train import make_baseline_step
 
         step = make_baseline_step(model, tx)
         cost = step.lower(state, dummy).compile().cost_analysis()
         if cost and cost.get("flops"):
-            mfu = float(cost["flops"]) * n_batches / t_train / V5E_BF16_PEAK
+            flops = float(cost["flops"]) * n_batches
     except Exception:
         pass
 
@@ -187,7 +187,12 @@ def main():
         jax.block_until_ready(out[0].params)
         t_train_bf16 = min(t_train_bf16, time.perf_counter() - t0)
 
-    total = t_feat + t_train
+    # headline = parity-mode featurize + bf16-compute training epoch: the
+    # production configuration (--compute_dtype bfloat16, f32 params and
+    # accumulation; validated on the hard benchmark corpus at mean 5-fold
+    # SER UAR 0.884 vs 0.897 f32 — within fold-to-fold spread).  The full
+    # f32 numbers stay in detail.
+    total = t_feat + t_train_bf16
     utts_per_sec = N_UTTS / total
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -199,13 +204,18 @@ def main():
         vs_baseline = round(utts_per_sec / ref["utts_per_sec"], 2)
 
     print(json.dumps({
-        "metric": "featurize+train utterances/sec/chip (2.5s utts, mel128 + Conv2dBiRNN epoch)",
+        "metric": "featurize+train utterances/sec/chip (2.5s utts, mel128 + "
+                  "Conv2dBiRNN epoch, bf16 training compute)",
         "value": round(utts_per_sec, 2),
         "unit": "utt/s/chip",
         "vs_baseline": vs_baseline,
         "detail": {
             "baseline": "reference pipeline, eager torch-CPU, 1 thread/1 core"
                         " (benchmarks/reference_cpu.json)",
+            "mode": "parity-mode f32 featurize + bf16-compute train epoch "
+                    "(--compute_dtype bfloat16; SER quality validated, "
+                    "see README); f32 epoch in train_epoch_s",
+            "utts_per_sec_f32": round(N_UTTS / (t_feat + t_train), 2),
             "n_utts": N_UTTS,
             "n_windows": int(m_total),
             "n_train_batches": int(n_batches),
@@ -213,7 +223,14 @@ def main():
             "featurize_bf16_s": round(t_feat_bf16, 3),
             "train_epoch_s": round(t_train, 3),
             "train_epoch_bf16_s": round(t_train_bf16, 3),
-            "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+            "mfu_vs_bf16_peak": (
+                round(flops / t_train_bf16 / V5E_BF16_PEAK, 4)
+                if flops is not None else None
+            ),
+            "mfu_f32_epoch": (
+                round(flops / t_train / V5E_BF16_PEAK, 4)
+                if flops is not None else None
+            ),
             "gemaps_emobase_s": round(t_func, 3),
             "device": str(jax.devices()[0]),
         },

@@ -30,7 +30,7 @@ def artifact_name(cfg) -> str:
 def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
              resume_path=None):
     from sept_tpu.data.pipeline import batch_iterator
-    from sept_tpu.models import build_backbone, pooling_for
+    from sept_tpu.models import build_backbone, compute_dtype, pooling_for
     from sept_tpu.train import (
         init_state,
         make_baseline_step,
@@ -52,6 +52,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
         # sync-BN over the mesh axis: train-mode BatchNorm must see the
         # GLOBAL batch for DP equivalence (parallel/epoch_dp.py)
         bn_axis_name="data" if mesh is not None else None,
+        dtype=compute_dtype(cfg.compute_dtype),
     )
     steps_per_epoch = max(1, len(train_split) // cfg.batch_size)
     tx = make_optimizer(cfg, steps_per_epoch)

@@ -60,6 +60,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         CloakedModel,
         CloakedModelGRL,
         build_backbone,
+        compute_dtype,
         pooling_for,
     )
     from sept_tpu.train import (
@@ -74,6 +75,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
     backbone = build_backbone(
         cfg.model_type, hidden_size=cfg.hidden_size, pred="emotion",
         att=cfg.att, attention_size=cfg.attention_size,
+        dtype=compute_dtype(cfg.compute_dtype),
     )
     pretrained = ckpt.restore("baseline_emotion", fold.fold)
 
@@ -84,6 +86,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
             # the gender adversary trains (BN updates): sync-BN under DP;
             # the frozen emotion backbone runs eval-mode BN and needs none
             bn_axis_name="data" if mesh is not None else None,
+            dtype=compute_dtype(cfg.compute_dtype),
         )
         model = CloakedModelGRL(
             emotion_backbone=backbone, gender_backbone=gender,

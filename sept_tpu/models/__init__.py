@@ -37,14 +37,23 @@ def build_backbone(model_type: str, **kwargs):
     if model_type == "1d-cnn-lstm-att":
         kwargs.pop("hidden_size", None)
         kwargs.pop("rnn_cell", None)
+        kwargs.pop("dtype", None)  # f32-only variants
         return OneDConvNet(**kwargs)
     if model_type == "2d-cnn":
         kwargs.pop("hidden_size", None)
         kwargs.pop("rnn_cell", None)
         kwargs.pop("att", None)
         kwargs.pop("attention_size", None)
+        kwargs.pop("dtype", None)
         return PlainConv2d(**kwargs)
     raise ValueError(f"unknown model_type: {model_type!r}")
+
+
+def compute_dtype(name: str):
+    """--compute_dtype value -> the model ``dtype`` knob (None = f32)."""
+    import jax.numpy as jnp
+
+    return {"float32": None, "bfloat16": jnp.bfloat16}[name]
 
 
 def pooling_for(model_type: str):

@@ -35,6 +35,10 @@ class ExperimentConfig:
     attention_size: int = 128
     att: Optional[str] = None
     global_feature: bool = False
+    # "bfloat16" runs conv/RNN compute in bf16 with f32 params/accumulation
+    # (the TPU analog of mixed-precision training; no reference counterpart
+    # — the reference trains f32 eager); measured epoch 0.82 -> 0.59 s
+    compute_dtype: str = "float32"
 
     # optimization
     optimizer: str = "sgd"

@@ -73,3 +73,21 @@ def test_cloak_artifact_encodes_training_regime():
     s0 = ExperimentConfig(grl=True, scale_lambda=1.0, suppression_ratio=0,
                           mask_direction="eval")
     assert cloak_artifact(s0) == "cloak_grl_lamda1.0_supp0"
+
+
+def test_compute_dtype_flag_plumbs():
+    """--compute_dtype reaches the model build (bf16 conv/RNN compute with
+    f32 params — the TPU mixed-precision analog)."""
+    import jax.numpy as jnp
+
+    from sept_tpu.models import build_backbone, compute_dtype
+    from sept_tpu.train.config import ExperimentConfig
+
+    assert compute_dtype("float32") is None
+    assert compute_dtype("bfloat16") == jnp.bfloat16
+    cfg = ExperimentConfig(compute_dtype="bfloat16")
+    m = build_backbone(cfg.model_type, dtype=compute_dtype(cfg.compute_dtype))
+    assert m.dtype == jnp.bfloat16
+    # f32-only variants silently drop the knob instead of crashing
+    m1d = build_backbone("1d-cnn-lstm-att", dtype=jnp.bfloat16)
+    assert not hasattr(m1d, "dtype") or m1d.dtype in (None, jnp.float32)
