@@ -159,3 +159,40 @@ def test_functional_extractors_on_chip():
     gem2, emo2 = combined_functionals_batch(waves, batch_size=8)
     np.testing.assert_array_equal(gem["u1"], gem2["u1"])
     np.testing.assert_array_equal(emo["u1"], emo2["u1"])
+
+
+def test_bf16_compute_epoch_on_chip():
+    """The --compute_dtype bfloat16 training mode (the bench headline)
+    compiles and trains on hardware: finite loss, f32 params moving."""
+    from sept_tpu.models import Conv2dBiRNN, compute_dtype
+    from sept_tpu.train import (
+        ExperimentConfig,
+        init_state,
+        make_epoch_runner,
+        make_optimizer,
+    )
+
+    T, D, M, B = 40, 32, 32, 16
+    rng = np.random.default_rng(3)
+    windows = jnp.asarray(rng.standard_normal((M, T, D)).astype(np.float32))
+    labels = jnp.asarray((np.arange(M) % 4).astype(np.int32))
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-3, hidden_size=8,
+                           compute_dtype="bfloat16")
+    model = Conv2dBiRNN(hidden_size=8, pred="emotion",
+                        dtype=compute_dtype(cfg.compute_dtype))
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    b0 = {"spec": windows[:B][..., None], "labels_emo": labels[:B],
+          "labels_gen": labels[:B] % 2, "global": jnp.zeros((B, 88)),
+          "weight": jnp.ones(B)}
+    state = init_state(model, tx, jax.random.PRNGKey(8), b0)
+    # params stay f32 (bf16 is compute-only)
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree.leaves(state.params))
+    run = make_epoch_runner(model, tx)
+    s1, losses, _, _ = run(
+        state, windows, labels, jnp.ones(M, jnp.float32),
+        jnp.asarray(np.random.default_rng(0).permutation(M)),
+        n_batches=2, batch_size=B,
+    )
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(s1.params))
