@@ -39,6 +39,7 @@ def main(argv=None):
     cfg = config_from_args(args, grl=bool(args.grl))
     cfg.noise_max_scale = 5.0  # eval-time max scale (:205)
 
+    from sept_tpu.cli.train_baseline import artifact_name as baseline_artifact
     from sept_tpu.cli.train_cloak import cloak_artifact
     from sept_tpu.data.store import load_fold
     from sept_tpu.eval.sweep import (
@@ -73,8 +74,12 @@ def main(argv=None):
             fold = load_fold(os.path.join(fold_dir, f"fold{k}.npz"))
             supp_cfg = type(cfg)(**{**cfg.__dict__, "suppression_ratio": ratio})
             cloak = ckpt.restore(cloak_artifact(supp_cfg), k)
-            base = ckpt.restore("baseline_emotion", k)
-            adv = ckpt.restore("adv_baseline_gender", k)
+            emo_cfg = type(cfg)(**{**cfg.__dict__, "adv": False,
+                                   "pred": "emotion"})
+            adv_cfg = type(cfg)(**{**cfg.__dict__, "adv": True,
+                                   "pred": "gender"})
+            base = ckpt.restore(baseline_artifact(emo_cfg), k)
+            adv = ckpt.restore(baseline_artifact(adv_cfg), k)
 
             noise_params = {"params": {
                 "locs": jnp.asarray(cloak["params"]["noise"]["locs"]),

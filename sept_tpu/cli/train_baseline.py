@@ -24,7 +24,13 @@ from sept_tpu.cli.common import add_common_args, config_from_args, setup_seed
 
 def artifact_name(cfg) -> str:
     base = "adv_baseline" if cfg.adv else "baseline"
-    return f"{base}_{cfg.pred}"
+    name = f"{base}_{cfg.pred}"
+    # non-default training numerics are part of the artifact identity: a
+    # bf16-trained checkpoint must not collide with (or silently resume) an
+    # f32 one
+    if cfg.compute_dtype != "float32":
+        name += "_bf16"
+    return name
 
 
 def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,

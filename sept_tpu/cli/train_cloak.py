@@ -13,7 +13,7 @@ apply the training-direction percentile mask (training_cloak.py:364-371);
 --mask_direction eval trains under the evaluation sweep's mask instead
 (fixes the reference's quirk-8 train/eval mismatch — see
 sept_tpu.eval.sweep.train_mask/eval_mask).
-Artifacts: ``cloak[_grl]_<scale_lamda>_supp<r>[_anti][_sal<w>][_mdeval]/
+Artifacts: ``cloak[_grl]_<scale_lamda>_supp<r>[_anti][_sal<w>][_mdeval][_bf16]/
 fold<k>`` (training-extension knobs are part of the artifact identity —
 see :func:`cloak_artifact`).
 """
@@ -50,6 +50,8 @@ def cloak_artifact(cfg) -> str:
     # suppression-0 cloaks are shared between directions
     if cfg.suppression_ratio and cfg.mask_direction == "eval":
         name += "_mdeval"
+    if cfg.compute_dtype != "float32":
+        name += "_bf16"
     return name
 
 
@@ -77,7 +79,10 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         att=cfg.att, attention_size=cfg.attention_size,
         dtype=compute_dtype(cfg.compute_dtype),
     )
-    pretrained = ckpt.restore("baseline_emotion", fold.fold)
+    from sept_tpu.cli.train_baseline import artifact_name as baseline_artifact
+
+    base_cfg = type(cfg)(**{**cfg.__dict__, "adv": False, "pred": "emotion"})
+    pretrained = ckpt.restore(baseline_artifact(base_cfg), fold.fold)
 
     if cfg.grl:
         gender = build_backbone(

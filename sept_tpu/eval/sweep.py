@@ -72,11 +72,12 @@ def evaluate_cloaked_test(
     batch axis and the vote runs SPMD (the program is a pure map, so XLA
     partitions the forward and replicates the closed-over frozen weights;
     no collectives are needed).  Numerics are unchanged vs single-device
-    for ANY mesh size: batch boundaries stay at ``batch_size`` (shifting
-    them would reassign each utterance's position-dependent noise draw) and
-    only PAD rows are appended to reach a device multiple — appended rows
-    sit after the real rows in the flat PRNG index space, so the real
-    rows' draws are untouched.
+    for ANY mesh size: batch boundaries stay at ``batch_size`` and only
+    zero PAD rows are appended to reach a device multiple, so every real
+    row sees the same program as single-device.  (The cloak noise itself
+    is a single shared (win_len, n_feats) draw per call from a fixed key —
+    CloakNoise broadcasts one sample over all windows — so it is
+    independent of batching either way.)
     """
     rng = jax.random.PRNGKey(noise_seed)
     pad_to = batch_size

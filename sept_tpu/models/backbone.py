@@ -264,13 +264,15 @@ class DeepConv2dBiRNN(Conv2dBiRNN):
         x = _conv_block(x, 128, train, self.dropout_rate, pool=False, name="3",
                         dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = _flatten_channel_major(x)
-        return StackedBiRNN(
+        x = StackedBiRNN(
             hidden_size=self.hidden_size,
             num_layers=self.num_rnn_layers,
             cell_type=self.rnn_cell,
             dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
             name="rnn",
         )(x, train=train)
+        return x.astype(jnp.float32)
 
     @nn.compact
     def __call__(

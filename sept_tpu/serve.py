@@ -147,9 +147,9 @@ class Predictor:
         # and never letting the raw wave length through keeps the jit shape
         # a pure function of (rows bucket, frame bucket)
         need = (max_t_b - 1) * 160 + self.n_fft
-        rows = 1
-        while rows < len(waveforms):  # next power of two, unbounded
-            rows *= 2
+        from sept_tpu.ops.functionals import pow2_rows
+
+        rows = pow2_rows(len(waveforms), 1 << 30)  # next pow2, unbounded
         buf = np.zeros((rows, need), np.float32)
         w = min(padded.shape[1], need)
         buf[: len(waveforms), :w] = padded[:, :w]

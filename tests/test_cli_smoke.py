@@ -73,6 +73,16 @@ def test_cloak_artifact_encodes_training_regime():
     s0 = ExperimentConfig(grl=True, scale_lambda=1.0, suppression_ratio=0,
                           mask_direction="eval")
     assert cloak_artifact(s0) == "cloak_grl_lamda1.0_supp0"
+    # non-default training numerics are identity too (bf16-trained cloaks
+    # and baselines never collide with f32 ones)
+    from sept_tpu.cli.train_baseline import artifact_name
+
+    bf = ExperimentConfig(grl=True, scale_lambda=1.0, suppression_ratio=0,
+                          compute_dtype="bfloat16")
+    assert cloak_artifact(bf) == "cloak_grl_lamda1.0_supp0_bf16"
+    assert artifact_name(ExperimentConfig(compute_dtype="bfloat16")) == \
+        "baseline_emotion_bf16"
+    assert artifact_name(ExperimentConfig()) == "baseline_emotion"
 
 
 def test_compute_dtype_flag_plumbs():

@@ -423,9 +423,9 @@ def test_dp_evaluation_sweep_matches_single_device():
     assert a1["acc"] == a8["acc"] and a1["rec"] == a8["rec"]
     np.testing.assert_array_equal(b1["conf"], b8["conf"])
 
-    # mesh size NOT dividing batch_size: batch boundaries must stay at
-    # batch_size (shifting them would reassign each utterance's
-    # position-dependent noise draw) — only pad rows are appended
+    # mesh size NOT dividing batch_size: batch boundaries stay at
+    # batch_size and only zero pad rows are appended, so every real row
+    # sees the same program as single-device
     b1, a1 = run(None, batch_size=5)
     b8, a8 = run(make_mesh(8), batch_size=5)
     assert b1["acc"] == b8["acc"] and b1["rec"] == b8["rec"]
