@@ -1,18 +1,22 @@
-"""Batched corpus featurization on TPU.
+"""Batched corpus featurization on TPU — one wave upload feeds every extractor.
 
 TPU-native replacement for the reference's per-utterance CPU loop
 (/root/reference/feature_extraction/audio_feature_extraction.py:176-189):
-waveforms are bucketed by length, host-side *reflect*-padded at their true
-boundary (preserving torch.stft center-pad parity for the trailing frames —
-zero-padding to the bucket length only touches frames beyond the utterance's
-true frame count, which are trimmed), then featurized as one vmapped, jitted
-GEMM chain per bucket shape.
+waveforms are bucketed by length and streamed to HBM ONCE per chunk as raw
+zero-padded rows; the reflect padding that preserves torch.stft center-pad
+parity (and the np.gradient waveform derivatives of the MFCC path) are
+computed on device from the true sample counts, so the spectral programs and
+the functional-feature programs (eGeMAPS / emobase) all read the same
+device-resident array.  On this environment the corpus featurize stage is
+host->device transfer-bound (see docs/ARCHITECTURE.md), and the previous
+host-side padding uploaded each wave up to three times (n_fft=800 pad,
+n_fft=1600 pad, functionals raw); staging once cuts H2D bytes ~3x.
 
 Produces the reference feature-store schema: per utterance
 ``mfcc`` (120, T), ``mel1`` (128, T; n_fft=800), ``mel2`` (128, T;
-n_fft=1600), plus the 88-dim ``gemaps`` functionals
-(sept_tpu.ops.egemaps, our TPU functional frontend standing in for the
-openSMILE C++ dependency).
+n_fft=1600), plus the 88-dim ``gemaps`` / 988-dim ``emobase`` functionals
+(sept_tpu.ops.egemaps / .emobase, our TPU functional frontend standing in
+for the openSMILE C++ dependency).
 """
 
 from __future__ import annotations
@@ -24,9 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from sept_tpu.ops import frontend as F
-from sept_tpu.ops.functionals import pow2_rows
+from sept_tpu.ops import functionals as FN
 
-__all__ = ["featurize_corpus", "feature_frames"]
+__all__ = ["featurize_corpus", "feature_frames", "device_reflect_pad"]
 
 _HOP = 160  # reference mel hop (audio_feature_extraction.py:32)
 _MFCC_HOP = 200  # torchaudio MFCC default hop
@@ -37,67 +41,109 @@ def feature_frames(n_samples: int, hop: int) -> int:
     return 1 + n_samples // hop
 
 
-def _reflect_pad(wave: np.ndarray, pad: int) -> np.ndarray:
-    return np.pad(wave, (pad, pad), mode="reflect")
+def device_reflect_pad(W: jax.Array, ns: jax.Array, pad: int) -> jax.Array:
+    """Reflect-pad each row at its TRUE boundary, on device.
+
+    ``W`` is (rows, L) zero-padded to the bucket length with true lengths
+    ``ns``; returns (rows, L + 2*pad) where row r equals
+    ``np.pad(w[:n], (pad, pad), mode='reflect')`` followed by zeros — the
+    exact host prep of the center=True STFT parity path, expressed as a
+    gather so only the raw wave ever crosses host->device.  The periodic
+    fold (period 2(n-1), np.pad's multi-reflection rule) is exact for any
+    pad, including utterances shorter than the pad.
+    """
+    rows, L = W.shape
+    p = jnp.arange(L + 2 * pad, dtype=jnp.int32)[None, :]
+    n = ns.astype(jnp.int32)[:, None]
+    q = p - pad
+    period = jnp.maximum(2 * (n - 1), 1)
+    m = jnp.mod(q, period)  # non-negative for negative q (Python semantics)
+    idx = jnp.minimum(m, period - m)
+    idx = jnp.where(n > 1, idx, 0)
+    out = jnp.take_along_axis(W, jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(p < n + 2 * pad, out, 0.0)
+
+
+def _padded_gradient(W: jax.Array, ns: jax.Array, spacing: float) -> jax.Array:
+    """``np.gradient(w[:n], spacing)`` per row of a zero-padded batch.
+
+    Central differences with one-sided edges at the TRUE boundaries
+    (positions 0 and n-1), zeros beyond — matching the host-side
+    ``np.gradient`` the reference MFCC path applies before featurizing
+    (audio_feature_extraction.py:20-24, ops/frontend.py::np_gradient).
+    """
+    rows, L = W.shape
+    xm1 = jnp.pad(W[:, :-1], ((0, 0), (1, 0)))
+    xp1 = jnp.pad(W[:, 1:], ((0, 0), (0, 1)))
+    g = (xp1 - xm1) / (2.0 * spacing)
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    n = ns.astype(jnp.int32)[:, None]
+    g = jnp.where(i == 0, (xp1 - W) / spacing, g)
+    g = jnp.where(i == n - 1, (W - xm1) / spacing, g)
+    return jnp.where(i < n, g, 0.0)
 
 
 @functools.lru_cache(maxsize=None)
 def _bucket_featurizer(bucket_len: int, feature_type: str, feature_len: int):
-    """Build the jitted per-bucket featurizer for a given padded length."""
+    """Jitted per-bucket featurizer over RAW (rows, bucket_len) waves.
+
+    Takes the staged wave chunk plus true sample counts; reflect padding
+    (and, for MFCC, the waveform derivatives) happen on device.
+    """
 
     if feature_type == "mel_spec":
 
-        def single(wave_padded_800, wave_padded_1600):
-            mel1 = F.stft_power(wave_padded_800, 800, _HOP, center=False)
-            mel2 = F.stft_power(wave_padded_1600, 1600, _HOP, center=False)
-            fb = jnp.asarray(F.melscale_fbanks(401, 0.0, 8000.0, feature_len, 16000))
-            fb2 = jnp.asarray(F.melscale_fbanks(801, 0.0, 8000.0, feature_len, 16000))
-            m1 = jnp.dot(mel1.T, fb, precision=F.PARITY_PRECISION,
-                         preferred_element_type=jnp.float32)
-            m2 = jnp.dot(mel2.T, fb2, precision=F.PARITY_PRECISION,
-                         preferred_element_type=jnp.float32)
-            # AmplitudeToDB(top_db=None): per-utterance global op, safe batched
-            return (
-                F.amplitude_to_db(m1.T, "power", None),
-                F.amplitude_to_db(m2.T, "power", None),
-            )
+        def batch(W, ns):
+            w800 = device_reflect_pad(W, ns, 400)
+            w1600 = device_reflect_pad(W, ns, 800)
 
-        return jax.jit(jax.vmap(single))
+            def single(wave_padded_800, wave_padded_1600):
+                mel1 = F.stft_power(wave_padded_800, 800, _HOP, center=False)
+                mel2 = F.stft_power(wave_padded_1600, 1600, _HOP, center=False)
+                fb = jnp.asarray(F.melscale_fbanks(401, 0.0, 8000.0, feature_len, 16000))
+                fb2 = jnp.asarray(F.melscale_fbanks(801, 0.0, 8000.0, feature_len, 16000))
+                m1 = jnp.dot(mel1.T, fb, precision=F.PARITY_PRECISION,
+                             preferred_element_type=jnp.float32)
+                m2 = jnp.dot(mel2.T, fb2, precision=F.PARITY_PRECISION,
+                             preferred_element_type=jnp.float32)
+                # AmplitudeToDB(top_db=None): per-utterance global op, safe batched
+                return (
+                    F.amplitude_to_db(m1.T, "power", None),
+                    F.amplitude_to_db(m2.T, "power", None),
+                )
+
+            return jax.vmap(single)(w800, w1600)
+
+        return jax.jit(batch)
 
     if feature_type == "mfcc":
-        # inputs arrive host reflect-padded (center=False framing), keeping
-        # torch.stft center parity for trailing frames under bucket zero-pad
-        def one_mfcc(w_padded):
-            spec = F.stft_power(w_padded, 400, _MFCC_HOP, center=False)
-            fb = jnp.asarray(F.melscale_fbanks(201, 0.0, 8000.0, 128, 16000))
-            mel = jnp.dot(spec.T, fb, precision=F.PARITY_PRECISION,
-                          preferred_element_type=jnp.float32).T
-            mel_db = F.amplitude_to_db(mel, "power", top_db=80.0)
-            dct = jnp.asarray(F.create_dct(40, 128, "ortho"))
-            return jnp.dot(mel_db.T, dct, precision=F.PARITY_PRECISION,
-                           preferred_element_type=jnp.float32).T
+        # device reflect pad = center=False framing with torch.stft center
+        # parity for trailing frames under bucket zero-pad
+        def batch(W, ns):
+            w = device_reflect_pad(W, ns, 200)
+            d1 = device_reflect_pad(_padded_gradient(W, ns, 1.0), ns, 200)
+            d2 = device_reflect_pad(_padded_gradient(W, ns, 2.0), ns, 200)
 
-        def single(w, w_d1, w_d2):
-            return jnp.concatenate(
-                [one_mfcc(w), one_mfcc(w_d1), one_mfcc(w_d2)], axis=0
-            )
+            def one_mfcc(w_padded):
+                spec = F.stft_power(w_padded, 400, _MFCC_HOP, center=False)
+                fb = jnp.asarray(F.melscale_fbanks(201, 0.0, 8000.0, 128, 16000))
+                mel = jnp.dot(spec.T, fb, precision=F.PARITY_PRECISION,
+                              preferred_element_type=jnp.float32).T
+                mel_db = F.amplitude_to_db(mel, "power", top_db=80.0)
+                dct = jnp.asarray(F.create_dct(40, 128, "ortho"))
+                return jnp.dot(mel_db.T, dct, precision=F.PARITY_PRECISION,
+                               preferred_element_type=jnp.float32).T
 
-        return jax.jit(jax.vmap(single))
+            def single(wp, d1p, d2p):
+                return jnp.concatenate(
+                    [one_mfcc(wp), one_mfcc(d1p), one_mfcc(d2p)], axis=0
+                )
+
+            return jax.vmap(single)(w, d1, d2)
+
+        return jax.jit(batch)
 
     raise ValueError(f"unknown feature_type: {feature_type!r}")
-
-
-def _buckets(lengths: list[int], quantum: int = 8000) -> dict[int, list[int]]:
-    """Group utterance indices into padded-length buckets.
-
-    Geometric (quantum * 2^k) buckets: compiles over a tunneled chip cost
-    tens of seconds each, so the number of distinct jit shapes is bounded at
-    log2(max_len/quantum) and the extra padded GEMM work is absorbed by the
-    MXU (outputs are trimmed to each utterance's true frame count anyway).
-    """
-    from sept_tpu.ops.functionals import bucket_indices
-
-    return bucket_indices(lengths, quantum, geometric=True)
 
 
 def featurize_corpus(
@@ -117,70 +163,48 @@ def featurize_corpus(
     (audio_feature_extraction.py:188-189): 88-dim ``gemaps`` and 988-dim
     ``emobase`` per utterance (emobase defaults to tracking
     ``include_gemaps``, matching the reference extracting both together).
+
+    Every chunk crosses host->device exactly once: the spectral programs
+    and the functional extractors all consume the same staged device array.
     """
     if include_emobase is None:
         include_emobase = include_gemaps
     utt_ids = list(waveforms)
-    lengths = [len(waveforms[u]) for u in utt_ids]
     store: dict[str, dict[str, np.ndarray]] = {u: {} for u in utt_ids}
 
-    for bucket_len, idxs in sorted(_buckets(lengths, quantum).items()):
+    hop = _HOP if feature_type == "mel_spec" else _MFCC_HOP
+
+    if include_gemaps or include_emobase:
+        from sept_tpu.ops.egemaps import _gemaps_batch  # cached executables
+        from sept_tpu.ops.emobase import _emobase_batch
+
+    for ids, W, ts, ns in FN.chunked_wave_batches(
+        waveforms, quantum, batch_size, FN.n_frames
+    ):
+        bucket_len = W.shape[1]
+        Wd = jnp.asarray(W)
+        nsd = jnp.asarray(ns)
+
         fn = _bucket_featurizer(bucket_len, feature_type, feature_len)
-        for lo in range(0, len(idxs), batch_size):
-            chunk = idxs[lo : lo + batch_size]
-            # pow2 row padding: chunk shapes come from a small closed set so
-            # partial chunks never compile fresh executables
-            rows = pow2_rows(len(chunk), batch_size)
-            if feature_type == "mel_spec":
-                # host reflect-pad at the true boundary for each n_fft, then
-                # zero-pad to the shared bucket length
-                w800 = np.zeros((rows, bucket_len + 800), dtype=np.float32)
-                w1600 = np.zeros((rows, bucket_len + 1600), dtype=np.float32)
-                for row, i in enumerate(chunk):
-                    w = waveforms[utt_ids[i]]
-                    w800[row, : len(w) + 800] = _reflect_pad(w, 400)
-                    w1600[row, : len(w) + 1600] = _reflect_pad(w, 800)
-                m1, m2 = fn(jnp.asarray(w800), jnp.asarray(w1600))
-                m1, m2 = np.asarray(m1), np.asarray(m2)
-                for row, i in enumerate(chunk):
-                    t = feature_frames(lengths[i], _HOP)
-                    store[utt_ids[i]]["mel1"] = m1[row, :, :t]
-                    store[utt_ids[i]]["mel2"] = m2[row, :, :t]
-            else:
-                w = np.zeros((rows, bucket_len + 400), dtype=np.float32)
-                d1 = np.zeros_like(w)
-                d2 = np.zeros_like(w)
-                for row, i in enumerate(chunk):
-                    wave = waveforms[utt_ids[i]]
-                    n = len(wave) + 400
-                    w[row, :n] = _reflect_pad(wave, 200)
-                    d1[row, :n] = _reflect_pad(np.gradient(wave), 200)
-                    d2[row, :n] = _reflect_pad(
-                        np.gradient(wave, 2).astype(np.float32), 200
-                    )
-                out = np.asarray(fn(jnp.asarray(w), jnp.asarray(d1), jnp.asarray(d2)))
-                for row, i in enumerate(chunk):
-                    t = feature_frames(lengths[i], _MFCC_HOP)
-                    store[utt_ids[i]]["mfcc"] = out[row, :, :t]
+        out = fn(Wd, nsd)
+        if feature_type == "mel_spec":
+            m1, m2 = np.asarray(out[0]), np.asarray(out[1])
+            for row, u in enumerate(ids):
+                t = feature_frames(int(ns[row]), hop)
+                store[u]["mel1"] = m1[row, :, :t]
+                store[u]["mel2"] = m2[row, :, :t]
+        else:
+            arr = np.asarray(out)
+            for row, u in enumerate(ids):
+                t = feature_frames(int(ns[row]), hop)
+                store[u]["mfcc"] = arr[row, :, :t]
 
-    if include_gemaps and include_emobase:
-        # one device program per chunk: shared STFT, half the wave uploads
-        from sept_tpu.ops.emobase import combined_functionals_batch
-
-        gemaps, emobase = combined_functionals_batch(waveforms)
-        for u in utt_ids:
-            store[u]["gemaps"] = gemaps[u]
-            store[u]["emobase"] = emobase[u]
-    elif include_gemaps:
-        from sept_tpu.ops.egemaps import egemaps_functionals_batch
-
-        gemaps = egemaps_functionals_batch(waveforms)
-        for u in utt_ids:
-            store[u]["gemaps"] = gemaps[u]
-    elif include_emobase:
-        from sept_tpu.ops.emobase import emobase_functionals_batch
-
-        emobase = emobase_functionals_batch(waveforms)
-        for u in utt_ids:
-            store[u]["emobase"] = emobase[u]
+        if include_gemaps:
+            g = np.asarray(_gemaps_batch(Wd, jnp.asarray(ts), nsd))
+            for row, u in enumerate(ids):
+                store[u]["gemaps"] = g[row]
+        if include_emobase:
+            e = np.asarray(_emobase_batch(Wd, jnp.asarray(ts)))
+            for row, u in enumerate(ids):
+                store[u]["emobase"] = e[row]
     return store
