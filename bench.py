@@ -187,12 +187,33 @@ def main():
         jax.block_until_ready(out[0].params)
         t_train_bf16 = min(t_train_bf16, time.perf_counter() - t0)
 
-    # headline = parity-mode featurize + bf16-compute training epoch: the
-    # production configuration (--compute_dtype bfloat16, f32 params and
-    # accumulation; validated on the hard benchmark corpus at mean 5-fold
-    # SER UAR 0.884 vs 0.897 f32 — within fold-to-fold spread).  The full
-    # f32 numbers stay in detail.
-    total = t_feat + t_train_bf16
+    # ---- timed: the bf16 epoch with the fused first-conv-block kernels ----
+    # (ops/pallas_conv.py; what --conv_backend auto resolves to in this
+    # configuration — the layout-copy traffic around XLA's pool lowering is
+    # the top line of the step profile, docs/ARCHITECTURE.md §2c)
+    model_fused = Conv2dBiRNN(hidden_size=64, pred="emotion",
+                              dtype=jnp.bfloat16, conv_backend="fused1")
+    state_fused = init_state(model_fused, tx, jax.random.PRNGKey(8), dummy)
+    run_epoch_fused = make_epoch_runner(model_fused, tx)
+    out = run_epoch_fused(state_fused, ds.windows, ds.labels_emo, ds.weight,
+                          order, n_batches=n_batches, batch_size=BATCH)
+    jax.block_until_ready(out[0].params)
+    t_train_fused = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = run_epoch_fused(state_fused, ds.windows, ds.labels_emo,
+                              ds.weight, order,
+                              n_batches=n_batches, batch_size=BATCH)
+        jax.block_until_ready(out[0].params)
+        t_train_fused = min(t_train_fused, time.perf_counter() - t0)
+
+    # headline = parity-mode featurize + bf16-compute training epoch with
+    # the fused conv kernels: the production configuration
+    # (--compute_dtype bfloat16 --conv_backend auto, f32 params and
+    # accumulation; bf16 SER quality validated on the hard benchmark corpus
+    # at mean 5-fold UAR 0.884 vs 0.897 f32 — within fold-to-fold spread).
+    # The full f32 and XLA-backend numbers stay in detail.
+    total = t_feat + t_train_fused
     utts_per_sec = N_UTTS / total
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -205,7 +226,7 @@ def main():
 
     print(json.dumps({
         "metric": "featurize+train utterances/sec/chip (2.5s utts, mel128 + "
-                  "Conv2dBiRNN epoch, bf16 training compute)",
+                  "Conv2dBiRNN epoch, bf16 compute + fused conv kernels)",
         "value": round(utts_per_sec, 2),
         "unit": "utt/s/chip",
         "vs_baseline": vs_baseline,
@@ -213,8 +234,10 @@ def main():
             "baseline": "reference pipeline, eager torch-CPU, 1 thread/1 core"
                         " (benchmarks/reference_cpu.json)",
             "mode": "parity-mode f32 featurize + bf16-compute train epoch "
-                    "(--compute_dtype bfloat16; SER quality validated, "
-                    "see README); f32 epoch in train_epoch_s",
+                    "with fused first-conv-block Pallas kernels "
+                    "(--compute_dtype bfloat16 --conv_backend auto; SER "
+                    "quality validated, see README); f32 epoch in "
+                    "train_epoch_s, XLA-backend bf16 in train_epoch_bf16_s",
             "utts_per_sec_f32": round(N_UTTS / (t_feat + t_train), 2),
             "n_utts": N_UTTS,
             "n_windows": int(m_total),
@@ -223,7 +246,12 @@ def main():
             "featurize_bf16_s": round(t_feat_bf16, 3),
             "train_epoch_s": round(t_train, 3),
             "train_epoch_bf16_s": round(t_train_bf16, 3),
+            "train_epoch_fused_s": round(t_train_fused, 3),
             "mfu_vs_bf16_peak": (
+                round(flops / t_train_fused / V5E_BF16_PEAK, 4)
+                if flops is not None else None
+            ),
+            "mfu_bf16_xla_epoch": (
                 round(flops / t_train_bf16 / V5E_BF16_PEAK, 4)
                 if flops is not None else None
             ),

@@ -98,6 +98,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 runs conv/RNN compute in bf16 (f32 params "
                         "and accumulation) — the TPU throughput mode, "
                         "~1.4x the f32 epoch")
+    p.add_argument("--conv_backend", choices=("auto", "xla", "fused1"),
+                   default="auto",
+                   help="first conv block of the 2d-cnn-lstm family: 'fused1' "
+                        "= the hand-fused Pallas kernel pair (bf16-only, "
+                        "200x128 windows; 1.37x the XLA step), 'auto' picks "
+                        "it whenever it applies")
     p.add_argument("--early_stop_patience", type=int, default=None,
                    help="val-loss early-stopping patience (default: config "
                         "preset; large value disables)")
@@ -195,6 +201,7 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
         saliency_align=float(getattr(args, "saliency_align", 0.0)),
         mask_direction=getattr(args, "mask_direction", "train"),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        conv_backend=getattr(args, "conv_backend", "auto"),
         seed=args.seed,
         output_dir=args.output_dir,
     )

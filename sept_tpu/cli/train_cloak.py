@@ -78,6 +78,9 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         cfg.model_type, hidden_size=cfg.hidden_size, pred="emotion",
         att=cfg.att, attention_size=cfg.attention_size,
         dtype=compute_dtype(cfg.compute_dtype),
+        # the frozen backbone runs eval-mode BN; fused_block1_eval still
+        # carries gradients through to the upstream noise parameters
+        conv_backend=cfg.resolved_conv_backend(),
     )
     from sept_tpu.cli.train_baseline import artifact_name as baseline_artifact
 
@@ -92,6 +95,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
             # the frozen emotion backbone runs eval-mode BN and needs none
             bn_axis_name="data" if mesh is not None else None,
             dtype=compute_dtype(cfg.compute_dtype),
+            conv_backend=cfg.resolved_conv_backend(),
         )
         model = CloakedModelGRL(
             emotion_backbone=backbone, gender_backbone=gender,

@@ -138,6 +138,57 @@ def _conv_block(
     return x
 
 
+class _FusedConv0(nn.Module):
+    """Parameter holder for the fused first conv block (path ``conv0/``).
+
+    Declares exactly the parameters ``nn.Conv(name="conv0")`` would — same
+    names, shapes, and initializers — so checkpoints move freely between the
+    XLA and fused (ops/pallas_conv.py) conv backends.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (5, 5, 1, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+class _FusedBN0(nn.Module):
+    """BatchNorm state for the fused first block (path ``bn0/``).
+
+    Mirrors ``nn.BatchNorm(name="bn0")``'s parameters and batch_stats
+    (scale/bias, mean/var, momentum 0.99) while the normalization itself
+    runs inside the fused Pallas kernel; this module owns the running-stat
+    update.  ``run_train(scale, bias) -> (pooled, mean, var)`` and
+    ``run_eval(scale, bias, mean, var) -> pooled`` close over the input.
+    """
+
+    features: int
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, run_train, run_eval, train: bool):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones_init(), (f,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (f,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((f,), jnp.float32))
+        if train:
+            pooled, bm, bv = run_train(scale, bias)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * bm
+                ra_var.value = m * ra_var.value + (1.0 - m) * bv
+        else:
+            pooled = run_eval(scale, bias, ra_mean.value, ra_var.value)
+        return pooled
+
+
 def _flatten_channel_major(x: jax.Array) -> jax.Array:
     """(B, T', D', C) -> (B, T', C*D') with channel-major ordering.
 
@@ -193,6 +244,11 @@ class Conv2dBiRNN(nn.Module):
     remat: bool = False
     # sync-BN axis for shard_map data parallelism (parallel/shard_map_dp.py)
     bn_axis_name: Optional[str] = None
+    # "xla" (default) or "fused1": run the first conv block (conv0+bn0+relu+
+    # pool) as the fused Pallas kernel pair (ops/pallas_conv.py) — the block
+    # that dominates the training epoch on v5e.  Requires dtype=bfloat16 on
+    # TPU (VMEM); parameters and checkpoints are backend-interchangeable.
+    conv_backend: str = "xla"
 
     def pool(self, x: jax.Array, pooling: Optional[str] = "mean") -> jax.Array:
         """Temporal pooling after the RNN; overridden usage in cloak wrappers."""
@@ -206,11 +262,48 @@ class Conv2dBiRNN(nn.Module):
             )(x)
         raise ValueError(f"unknown att: {self.att!r}")
 
+    def _fused_first_block(self, x: jax.Array, train: bool) -> jax.Array:
+        """conv0+bn0+relu+pool as the fused Pallas kernels (conv_backend)."""
+        from sept_tpu.ops.pallas_conv import (
+            fused_block1_eval, fused_block1_train,
+        )
+
+        if x.shape[1:] != (200, 128, 1):
+            raise ValueError(
+                "conv_backend='fused1' supports the standard window geometry "
+                f"(win_len 200, feature_len 128) only; got {x.shape[1:]}. "
+                "Use conv_backend='xla' (or leave --conv_backend auto)."
+            )
+        interpret = jax.default_backend() == "cpu"
+        cdtype = self.dtype or jnp.float32
+        if cdtype == jnp.float32 and not interpret:
+            raise ValueError(
+                "conv_backend='fused1' requires dtype=bfloat16 on TPU "
+                "(the f32 banded GEMM matrix exceeds VMEM); use "
+                "--compute_dtype bfloat16 or conv_backend='xla'."
+            )
+        k, b = _FusedConv0(32, name="conv0")()
+
+        def run_train(scale, bias_):
+            return fused_block1_train(x, k, b, scale, bias_, 32, interpret,
+                                      cdtype, self.bn_axis_name)
+
+        def run_eval(scale, bias_, mean, var):
+            return fused_block1_eval(x, k, b, scale, bias_, mean, var, 32,
+                                     interpret, cdtype)
+
+        return _FusedBN0(32, name="bn0")(run_train, run_eval, train)
+
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Conv stack + RNN: (B, T, D, 1) -> (B, T/8, 2*hidden)."""
 
         def _enc(x):
-            for i, ch in enumerate((32, 64, 128)):
+            blocks = list(enumerate((32, 64, 128)))
+            if self.conv_backend == "fused1":
+                x = self._fused_first_block(x, train)
+                x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+                blocks = blocks[1:]
+            for i, ch in blocks:
                 x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
                                 dtype=self.dtype,
                                 bn_axis_name=self.bn_axis_name)
@@ -258,7 +351,14 @@ class DeepConv2dBiRNN(Conv2dBiRNN):
     """
 
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
-        for i, ch in enumerate((32, 64, 128)):
+        blocks = list(enumerate((32, 64, 128)))
+        if self.conv_backend == "fused1":
+            # the deep variant's first block is identical to the base one,
+            # so the fused kernel pair applies unchanged
+            x = self._fused_first_block(x, train)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            blocks = blocks[1:]
+        for i, ch in blocks:
             x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
                             dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         x = _conv_block(x, 128, train, self.dropout_rate, pool=False, name="3",

@@ -39,6 +39,11 @@ class ExperimentConfig:
     # (the TPU analog of mixed-precision training; no reference counterpart
     # — the reference trains f32 eager); measured epoch 0.82 -> 0.59 s
     compute_dtype: str = "float32"
+    # first conv block backend for the 2d-cnn-lstm family: "xla" |
+    # "fused1" (the hand-fused Pallas kernel pair, ops/pallas_conv.py) |
+    # "auto" (fused1 when it applies: bf16 compute, standard 200x128
+    # window geometry, non-CPU backend; measured 9.3 -> 6.8 ms/step)
+    conv_backend: str = "auto"
 
     # optimization
     optimizer: str = "sgd"
@@ -94,6 +99,28 @@ class ExperimentConfig:
     @property
     def shift_len(self) -> int:
         return self.win_len // 4
+
+    def resolved_conv_backend(self) -> str:
+        """Resolve ``conv_backend='auto'`` against this config + backend.
+
+        fused1 requires bf16 compute (the f32 banded GEMM matrix exceeds
+        VMEM), the standard (200, 128) window geometry the kernels are
+        shaped for, a 2d-cnn-lstm-family model, and a real accelerator
+        (interpret-mode Pallas on CPU is for tests, not training).
+        """
+        if self.conv_backend != "auto":
+            return self.conv_backend
+        import jax
+
+        ok = (
+            self.compute_dtype == "bfloat16"
+            and self.model_type in ("2d-cnn-lstm", "cnn-lstm-att",
+                                    "deep-2d-cnn-lstm")
+            and self.win_len == 200
+            and self.feature_len == 128
+            and jax.default_backend() != "cpu"
+        )
+        return "fused1" if ok else "xla"
 
 
 _PRESETS = {

@@ -196,3 +196,56 @@ def test_bf16_compute_epoch_on_chip():
     )
     assert np.all(np.isfinite(np.asarray(losses)))
     assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(s1.params))
+
+
+def test_fused_conv_block_compiled_parity():
+    """The fused first-conv-block kernels (ops/pallas_conv.py) COMPILED via
+    Mosaic on the real chip: train-mode fwd + grads vs the jnp oracle at
+    bf16 tolerance (CPU CI only runs interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sept_tpu.ops.pallas_conv import block1_reference, fused_block1_train
+
+    C = 32
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, 200, 128, 1)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((5, 5, 1, C)) * 0.2).astype(np.float32))
+    bias = jnp.asarray((0.1 * rng.standard_normal(C)).astype(np.float32))
+    gamma = jnp.asarray((1 + 0.1 * rng.standard_normal(C)).astype(np.float32))
+    beta = jnp.asarray((0.1 * rng.standard_normal(C)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 100, 64, C)).astype(np.float32))
+
+    @jax.jit
+    def fwd_and_grads(x, k, bias, gamma, beta):
+        def loss(k, bias, gamma, beta):
+            p, m, v = fused_block1_train(x, k, bias, gamma, beta, C, False,
+                                         jnp.bfloat16, None)
+            return jnp.sum(p * w), (p, m, v)
+
+        (l, (p, m, v)), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(k, bias, gamma, beta)
+        return p, m, v, g
+
+    p, m, v, g = fwd_and_grads(x, k, bias, gamma, beta)
+    pr = block1_reference(x, k, bias, gamma, beta, m, v)
+    scale = float(jnp.abs(pr).max())
+    assert float(jnp.abs(p - pr).max()) < 0.03 * scale  # bf16 conv rounding
+    assert all(bool(jnp.all(jnp.isfinite(t))) for t in g)
+    # grads against f32 autodiff of the train-mode (batch-stats BN) oracle
+    def loss_ref(k, bias, gamma, beta):
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias[None, None, None, :]
+        mean = y.mean((0, 1, 2))
+        var = ((y - mean) ** 2).mean((0, 1, 2))
+        z = jax.nn.relu((y - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta)
+        pooled = jax.lax.reduce_window(
+            z, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return jnp.sum(pooled * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(k, bias, gamma, beta)
+    for name, a, b in zip(["dk", "db", "dgamma", "dbeta"], g, g_ref):
+        s = max(float(jnp.abs(b).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < 0.05 * s, name
