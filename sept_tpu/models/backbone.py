@@ -123,6 +123,13 @@ def _conv_block(
 ) -> jax.Array:
     """Conv5x5(SAME) -> BatchNorm -> ReLU -> MaxPool2x2 -> Dropout2d.
 
+    The trailing dropout is CHANNEL dropout (``nn.Dropout2d`` in the
+    reference, baseline_models.py:176-188): whole feature maps are zeroed
+    per (sample, channel), i.e. the mask broadcasts over H and W.  Besides
+    parity, this matters for speed — an elementwise mask on the
+    (B, 200, 128, 32) activation costs more threefry RNG than the rest of
+    the training step combined (measured, docs/ARCHITECTURE.md).
+
     ``bn_axis_name`` enables sync-BN: batch statistics are all-reduced over
     the named mesh axis (required for exact DP equivalence under shard_map,
     where reductions are shard-local by default).
@@ -134,7 +141,8 @@ def _conv_block(
     x = nn.relu(x)
     if pool:
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-    x = nn.Dropout(dropout, deterministic=not train)(x)
+    x = nn.Dropout(dropout, broadcast_dims=(1, 2),
+                   deterministic=not train)(x)
     return x
 
 
@@ -301,7 +309,8 @@ class Conv2dBiRNN(nn.Module):
             blocks = list(enumerate((32, 64, 128)))
             if self.conv_backend == "fused1":
                 x = self._fused_first_block(x, train)
-                x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+                x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                               deterministic=not train)(x)
                 blocks = blocks[1:]
             for i, ch in blocks:
                 x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
@@ -356,7 +365,8 @@ class DeepConv2dBiRNN(Conv2dBiRNN):
             # the deep variant's first block is identical to the base one,
             # so the fused kernel pair applies unchanged
             x = self._fused_first_block(x, train)
-            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                           deterministic=not train)(x)
             blocks = blocks[1:]
         for i, ch in blocks:
             x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
@@ -479,7 +489,9 @@ class PlainConv2d(nn.Module):
             x = nn.relu(x)
             if pool:
                 x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            # channel dropout, as in the reference's nn.Dropout2d (:519-545)
+            x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                           deterministic=not train)(x)
         x = _flatten_channel_major(x)  # (B, T/8, 64*D/8)
         x = jnp.swapaxes(x, 1, 2)  # (B, F, T/8)
         n_out = NUM_EMO_CLASSES if self.pred == "emotion" else NUM_GENDER_CLASSES

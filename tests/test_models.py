@@ -249,3 +249,46 @@ def test_bf16_and_remat_modes():
     g2 = jax.grad(lambda p: loss(m_remat, p))(v32["params"])
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_conv_block_dropout_is_channel_dropout():
+    """The conv-block dropout zeroes whole (sample, channel) feature maps.
+
+    The reference uses ``nn.Dropout2d`` after every 2-D conv block
+    (baseline_models.py:176-188): the mask broadcasts over H and W.  Besides
+    parity, this is a large TPU win — an elementwise mask on the conv
+    activations costs more threefry RNG than the rest of the training step
+    (docs/ARCHITECTURE.md).  Dropping the whole plane or keeping it intact
+    (scaled by 1/(1-p)) is the observable contract.
+    """
+    import flax.linen as nn
+
+    from sept_tpu.models.backbone import _conv_block
+
+    class Wrap(nn.Module):
+        rate: float
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            return _conv_block(x, 8, train, self.rate, name="0")
+
+    p = 0.7
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 1))
+    v = Wrap(p).init({"params": KEY, "dropout": KEY}, x, train=False)
+    y, _ = Wrap(p).apply(v, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(3)})
+    y0, _ = Wrap(0.0).apply(v, x, train=True, mutable=["batch_stats"],
+                            rngs={"dropout": jax.random.PRNGKey(3)})
+    y = np.asarray(y)
+    y0 = np.asarray(y0)
+    dropped = kept = 0
+    for b in range(y.shape[0]):
+        for c in range(y.shape[-1]):
+            plane, ref = y[b, :, :, c], y0[b, :, :, c]
+            if np.all(plane == 0.0) and np.any(ref != 0.0):
+                dropped += 1
+            else:
+                np.testing.assert_allclose(plane, ref / (1.0 - p), rtol=1e-5)
+                kept += 1
+    # p=0.7 over 32 planes: both outcomes occur with overwhelming probability
+    assert dropped > 0 and kept > 0
