@@ -98,13 +98,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 runs conv/RNN compute in bf16 (f32 params "
                         "and accumulation) — the TPU throughput mode, "
                         "~1.4x the f32 epoch")
-    p.add_argument("--conv_backend",
-                   choices=("auto", "xla", "fused1", "fused2"),
+    p.add_argument("--conv_backend", choices=("auto", "xla", "fused1"),
                    default="auto",
-                   help="conv blocks of the 2d-cnn-lstm family: 'fused1' / "
-                        "'fused2' = hand-fused Pallas kernels for the first "
-                        "one / two blocks (bf16-only, 200x128 windows); "
-                        "'auto' picks fused2 whenever it applies")
+                   help="first conv block of the 2d-cnn-lstm family: 'fused1' "
+                        "= the hand-fused Pallas kernel pair (bf16-only, "
+                        "200x128 windows; 1.37x the XLA step), 'auto' picks "
+                        "it whenever it applies")
     p.add_argument("--early_stop_patience", type=int, default=None,
                    help="val-loss early-stopping patience (default: config "
                         "preset; large value disables)")

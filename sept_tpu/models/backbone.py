@@ -147,20 +147,19 @@ def _conv_block(
 
 
 class _FusedConv0(nn.Module):
-    """Parameter holder for a fused conv block (paths ``conv0/``/``conv1/``).
+    """Parameter holder for the fused first conv block (path ``conv0/``).
 
-    Declares exactly the parameters ``nn.Conv(name=...)`` would — same
+    Declares exactly the parameters ``nn.Conv(name="conv0")`` would — same
     names, shapes, and initializers — so checkpoints move freely between the
-    XLA and fused (ops/pallas_conv{,2}.py) conv backends.
+    XLA and fused (ops/pallas_conv.py) conv backends.
     """
 
     features: int
-    in_features: int = 1
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (5, 5, self.in_features, self.features))
+                       (5, 5, 1, self.features))
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         return k, b
 
@@ -253,12 +252,10 @@ class Conv2dBiRNN(nn.Module):
     remat: bool = False
     # sync-BN axis for shard_map data parallelism (parallel/shard_map_dp.py)
     bn_axis_name: Optional[str] = None
-    # "xla" (default), "fused1", or "fused2": run the first conv block
-    # (conv0+bn0+relu+pool, ops/pallas_conv.py) — or the first TWO blocks
-    # (+ conv1+bn1+relu+pool, ops/pallas_conv2.py) — as fused Pallas
-    # kernels; the blocks that dominate the training epoch on v5e.
-    # Requires dtype=bfloat16 on TPU (VMEM); parameters and checkpoints are
-    # backend-interchangeable.
+    # "xla" (default) or "fused1": run the first conv block (conv0+bn0+relu+
+    # pool) as the fused Pallas kernel pair (ops/pallas_conv.py) — the block
+    # that dominates the training epoch on v5e.  Requires dtype=bfloat16 on
+    # TPU (VMEM); parameters and checkpoints are backend-interchangeable.
     conv_backend: str = "xla"
 
     def pool(self, x: jax.Array, pooling: Optional[str] = "mean") -> jax.Array:
@@ -281,17 +278,16 @@ class Conv2dBiRNN(nn.Module):
 
         if x.shape[1:] != (200, 128, 1):
             raise ValueError(
-                f"conv_backend={self.conv_backend!r} supports the standard "
-                f"window geometry (win_len 200, feature_len 128) only; got "
-                f"{x.shape[1:]}. Use conv_backend='xla' (or leave "
-                "--conv_backend auto)."
+                "conv_backend='fused1' supports the standard window geometry "
+                f"(win_len 200, feature_len 128) only; got {x.shape[1:]}. "
+                "Use conv_backend='xla' (or leave --conv_backend auto)."
             )
         interpret = jax.default_backend() == "cpu"
         cdtype = self.dtype or jnp.float32
         if cdtype == jnp.float32 and not interpret:
             raise ValueError(
-                f"conv_backend={self.conv_backend!r} requires dtype=bfloat16 "
-                "on TPU (the f32 banded GEMM matrix exceeds VMEM); use "
+                "conv_backend='fused1' requires dtype=bfloat16 on TPU "
+                "(the f32 banded GEMM matrix exceeds VMEM); use "
                 "--compute_dtype bfloat16 or conv_backend='xla'."
             )
         k, b = _FusedConv0(32, name="conv0")()
@@ -306,46 +302,16 @@ class Conv2dBiRNN(nn.Module):
 
         return _FusedBN0(32, name="bn0")(run_train, run_eval, train)
 
-    def _fused_second_block(self, x: jax.Array, train: bool) -> jax.Array:
-        """conv1+bn1+relu+pool as the fused Pallas kernels (fused2)."""
-        from sept_tpu.ops.pallas_conv2 import (
-            fused_block2_eval, fused_block2_train,
-        )
-
-        interpret = jax.default_backend() == "cpu"
-        cdtype = self.dtype or jnp.float32
-        k, b = _FusedConv0(64, in_features=32, name="conv1")()
-
-        def run_train(scale, bias_):
-            return fused_block2_train(x, k, b, scale, bias_, 32, 64,
-                                      interpret, cdtype, self.bn_axis_name)
-
-        def run_eval(scale, bias_, mean, var):
-            return fused_block2_eval(x, k, b, scale, bias_, mean, var, 32,
-                                     64, interpret, cdtype)
-
-        return _FusedBN0(64, name="bn1")(run_train, run_eval, train)
-
-    def _fused_prefix(self, x: jax.Array, train: bool):
-        """Run the fused conv-block prefix; returns (x, n_blocks_consumed)."""
-        x = self._fused_first_block(x, train)
-        x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
-                       deterministic=not train)(x)
-        if self.conv_backend == "fused1":
-            return x, 1
-        x = self._fused_second_block(x, train)
-        x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
-                       deterministic=not train)(x)
-        return x, 2
-
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Conv stack + RNN: (B, T, D, 1) -> (B, T/8, 2*hidden)."""
 
         def _enc(x):
             blocks = list(enumerate((32, 64, 128)))
-            if self.conv_backend in ("fused1", "fused2"):
-                x, used = self._fused_prefix(x, train)
-                blocks = blocks[used:]
+            if self.conv_backend == "fused1":
+                x = self._fused_first_block(x, train)
+                x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                               deterministic=not train)(x)
+                blocks = blocks[1:]
             for i, ch in blocks:
                 x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
                                 dtype=self.dtype,
@@ -395,11 +361,13 @@ class DeepConv2dBiRNN(Conv2dBiRNN):
 
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
         blocks = list(enumerate((32, 64, 128)))
-        if self.conv_backend in ("fused1", "fused2"):
-            # the deep variant's first blocks are identical to the base
-            # model's, so the fused kernels apply unchanged
-            x, used = self._fused_prefix(x, train)
-            blocks = blocks[used:]
+        if self.conv_backend == "fused1":
+            # the deep variant's first block is identical to the base one,
+            # so the fused kernel pair applies unchanged
+            x = self._fused_first_block(x, train)
+            x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                           deterministic=not train)(x)
+            blocks = blocks[1:]
         for i, ch in blocks:
             x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
                             dtype=self.dtype, bn_axis_name=self.bn_axis_name)

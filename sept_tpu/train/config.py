@@ -103,13 +103,10 @@ class ExperimentConfig:
     def resolved_conv_backend(self) -> str:
         """Resolve ``conv_backend='auto'`` against this config + backend.
 
-        The fused backends require bf16 compute (the f32 banded GEMM
-        matrix of block 1 exceeds VMEM), the standard (200, 128) window
-        geometry the kernels are shaped for, a 2d-cnn-lstm-family model,
-        and a real accelerator (interpret-mode Pallas on CPU is for tests,
-        not training).  'auto' picks fused2 — blocks 1 AND 2 fused
-        (ops/pallas_conv.py + ops/pallas_conv2.py), the fastest measured
-        configuration (docs/ARCHITECTURE.md).
+        fused1 requires bf16 compute (the f32 banded GEMM matrix exceeds
+        VMEM), the standard (200, 128) window geometry the kernels are
+        shaped for, a 2d-cnn-lstm-family model, and a real accelerator
+        (interpret-mode Pallas on CPU is for tests, not training).
         """
         if self.conv_backend != "auto":
             return self.conv_backend
@@ -123,7 +120,7 @@ class ExperimentConfig:
             and self.feature_len == 128
             and jax.default_backend() != "cpu"
         )
-        return "fused2" if ok else "xla"
+        return "fused1" if ok else "xla"
 
 
 _PRESETS = {
