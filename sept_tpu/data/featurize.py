@@ -178,6 +178,11 @@ def featurize_corpus(
         from sept_tpu.ops.egemaps import _gemaps_batch  # cached executables
         from sept_tpu.ops.emobase import _emobase_batch
 
+    # dispatch-then-collect: stage every chunk and queue all its programs
+    # before any blocking np.asarray, so chunk N+1's H2D overlaps chunk N's
+    # compute/D2H (JAX dispatch is async; the chunked stage is otherwise
+    # transfer/dispatch-serialized over the tunneled chip)
+    pending = []
     for ids, W, ts, ns in FN.chunked_wave_batches(
         waveforms, quantum, batch_size, FN.n_frames
     ):
@@ -187,6 +192,11 @@ def featurize_corpus(
 
         fn = _bucket_featurizer(bucket_len, feature_type, feature_len)
         out = fn(Wd, nsd)
+        g = _gemaps_batch(Wd, jnp.asarray(ts), nsd) if include_gemaps else None
+        e = _emobase_batch(Wd, jnp.asarray(ts)) if include_emobase else None
+        pending.append((ids, ns, out, g, e))
+
+    for ids, ns, out, g, e in pending:
         if feature_type == "mel_spec":
             m1, m2 = np.asarray(out[0]), np.asarray(out[1])
             for row, u in enumerate(ids):
@@ -198,13 +208,12 @@ def featurize_corpus(
             for row, u in enumerate(ids):
                 t = feature_frames(int(ns[row]), hop)
                 store[u]["mfcc"] = arr[row, :, :t]
-
-        if include_gemaps:
-            g = np.asarray(_gemaps_batch(Wd, jnp.asarray(ts), nsd))
+        if g is not None:
+            g = np.asarray(g)
             for row, u in enumerate(ids):
                 store[u]["gemaps"] = g[row]
-        if include_emobase:
-            e = np.asarray(_emobase_batch(Wd, jnp.asarray(ts)))
+        if e is not None:
+            e = np.asarray(e)
             for row, u in enumerate(ids):
                 store[u]["emobase"] = e[row]
     return store

@@ -198,14 +198,25 @@ def combined_functionals_batch(
     """
     from sept_tpu.ops.egemaps import _gemaps_batch
 
+    # dispatch-then-collect: JAX dispatch is async, so staging every chunk
+    # and queueing both programs BEFORE any blocking np.asarray lets the
+    # next chunk's H2D overlap the previous chunk's compute/D2H instead of
+    # serializing 3 round-trips per chunk over the tunnel (measured: the
+    # stage is ~94% transfer/dispatch, ~22 ms device compute per 64-utt
+    # chunk).  Held device memory is bounded: waves + (B, 88)/(B, 988)
+    # results per chunk.
     gem: dict[str, np.ndarray] = {}
     emo: dict[str, np.ndarray] = {}
+    pending = []
     for ids, W, ts, ns in FN.chunked_wave_batches(
         waveforms, quantum, batch_size, _n_frames
     ):
         Wd, tsd = jnp.asarray(W), jnp.asarray(ts)
-        g = _gemaps_batch(Wd, tsd, jnp.asarray(ns))
-        e = _emobase_batch(Wd, tsd)
+        pending.append(
+            (ids, _gemaps_batch(Wd, tsd, jnp.asarray(ns)),
+             _emobase_batch(Wd, tsd))
+        )
+    for ids, g, e in pending:
         g, e = np.asarray(g), np.asarray(e)
         for row, u in enumerate(ids):
             gem[u] = g[row]
