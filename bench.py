@@ -63,11 +63,15 @@ def main():
 
     rng = np.random.default_rng(8)
     t = np.arange(int(DUR_S * SR)) / SR
+    # 16-bit PCM waves, as decoded from the corpora's WAV files (IEMOCAP /
+    # CREMA-D are 16 kHz PCM16): int16 stages to the device at HALF the
+    # float32 bytes and normalizes on device bit-exactly
+    # (runtime.narrow_pcm16 / ops.frontend.pcm_to_float)
     waves = {
-        f"u{i:04d}": (
+        f"u{i:04d}": np.clip(np.rint((
             0.3 * np.sin(2 * np.pi * (120 + 10 * (i % 32)) * t)
             + 0.05 * rng.standard_normal(t.shape)
-        ).astype(np.float32)
+        ) * 32768.0), -32768, 32767).astype(np.int16)
         for i in range(N_UTTS)
     }
 

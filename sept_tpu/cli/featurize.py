@@ -45,13 +45,15 @@ def main(argv=None):
         if not args.corpus_root:
             p.error(f"--corpus_root is required for dataset {args.dataset!r}")
         from sept_tpu.data.walkers import walk_corpus
-        from sept_tpu.runtime import decode_batch
+        from sept_tpu.runtime import decode_batch, narrow_pcm16
 
         manifest = walk_corpus(args.dataset, args.corpus_root)
         paths = [u.path for u in manifest]
         mat, lens = decode_batch(paths, target_sr=16000)
+        # narrow_pcm16: decoded 16-bit sources stage to device as int16
+        # (half the H2D bytes, bit-equal features — wavio.narrow_pcm16)
         waveforms = {
-            u.utt_id: mat[i, : lens[i]]
+            u.utt_id: narrow_pcm16(mat[i, : lens[i]])
             for i, u in enumerate(manifest)
             if lens[i] > 0
         }

@@ -39,18 +39,32 @@ def prepare_waves(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host prep: reflect-pad each wave at its true boundary (preserving
     center-STFT parity), zero-pad to the batch max.  Returns
-    (padded (N, Lmax+n_fft), n_frames (N,))."""
+    (padded (N, Lmax+n_fft), n_frames (N,)).
+
+    int16 PCM input stays int16 (reflect-pad is a permutation, exact in any
+    dtype); the device program normalizes with ``F.pcm_to_float``, so PCM16
+    corpora cross host->device at half the bytes of float32 with bit-equal
+    results."""
     pad = n_fft // 2
     lengths = np.asarray([len(w) for w in waveforms])
     lmax = int(lengths.max())
     frames = (1 + lengths // _HOP).astype(np.int32)
+    dtype = (np.int16 if all(w.dtype == np.int16 for w in waveforms)
+             else np.float32)
+    if dtype == np.float32:
+        # mixed-dtype fallback: normalize any int16 rows on host
+        waveforms = [
+            w.astype(np.float32) * np.float32(1.0 / 32768.0)
+            if w.dtype == np.int16 else w
+            for w in waveforms
+        ]
     if (lengths == lmax).all():
         # equal-length fast path: one vectorized reflect-pad
         stacked = np.ascontiguousarray(
-            np.stack(waveforms).astype(np.float32, copy=False)
+            np.stack(waveforms).astype(dtype, copy=False)
         )
         return np.pad(stacked, ((0, 0), (pad, pad)), mode="reflect"), frames
-    out = np.zeros((len(waveforms), lmax + n_fft), dtype=np.float32)
+    out = np.zeros((len(waveforms), lmax + n_fft), dtype=dtype)
     for i, w in enumerate(waveforms):
         out[i, : len(w) + n_fft] = np.pad(w, (pad, pad), mode="reflect")
     return out, frames
@@ -100,6 +114,7 @@ def _ingest(
     frontend: str = "xla",
 ):
     n = padded_waves.shape[0]
+    padded_waves = F.pcm_to_float(padded_waves)  # int16 PCM staging: exact
 
     if frontend == "pallas_bf16":
         # throughput mode: the fused Pallas kernel with bf16 MXU GEMMs +

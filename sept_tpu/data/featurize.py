@@ -94,6 +94,7 @@ def _bucket_featurizer(bucket_len: int, feature_type: str, feature_len: int):
     if feature_type == "mel_spec":
 
         def batch(W, ns):
+            W = F.pcm_to_float(W)  # int16 PCM staging: exact (frontend.py)
             w800 = device_reflect_pad(W, ns, 400)
             w1600 = device_reflect_pad(W, ns, 800)
 
@@ -120,6 +121,7 @@ def _bucket_featurizer(bucket_len: int, feature_type: str, feature_len: int):
         # device reflect pad = center=False framing with torch.stft center
         # parity for trailing frames under bucket zero-pad
         def batch(W, ns):
+            W = F.pcm_to_float(W)  # int16 PCM staging: exact (frontend.py)
             w = device_reflect_pad(W, ns, 200)
             d1 = device_reflect_pad(_padded_gradient(W, ns, 1.0), ns, 200)
             d2 = device_reflect_pad(_padded_gradient(W, ns, 2.0), ns, 200)

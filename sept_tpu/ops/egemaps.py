@@ -302,7 +302,7 @@ def _reduce(tracks, t, n_samples):
 
 
 def _gemaps_single(wave, t, n_samples):
-    return _reduce(_lld(wave), t, n_samples)
+    return _reduce(_lld(F.pcm_to_float(wave)), t, n_samples)
 
 
 _gemaps_batch = jax.jit(jax.vmap(_gemaps_single))

@@ -155,7 +155,7 @@ def _reduce(tracks, t):
 
 
 def _emobase_single(wave, t):
-    return _reduce(_lld(wave), t)
+    return _reduce(_lld(F.pcm_to_float(wave)), t)
 
 
 _emobase_batch = jax.jit(jax.vmap(_emobase_single))

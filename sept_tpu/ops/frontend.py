@@ -55,7 +55,25 @@ __all__ = [
     "mfcc",
     "mfcc_with_deltas",
     "np_gradient",
+    "pcm_to_float",
 ]
+
+
+def pcm_to_float(x):
+    """Normalize int16 PCM to float32 in [-1, 1); float input passes through.
+
+    Multiplying by the exact power-of-two reciprocal 2^-15 reproduces
+    torchaudio's int16 load normalization bit-for-bit (every int16/32768 is
+    exactly representable in float32), so pipelines may stage raw PCM16 to
+    the device — HALF the host->device bytes of float32 waves, the dominant
+    cost of the featurize stage on this environment (docs/ARCHITECTURE.md
+    §2) — and convert on device with no parity loss.  Called at the top of
+    every jitted program that consumes staged waveforms; jit specializes on
+    dtype, so the float path is unchanged.
+    """
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return x
 
 
 # ---------------------------------------------------------------------------

@@ -284,18 +284,28 @@ def chunked_wave_batches(waveforms, quantum, batch_size, n_frames_fn):
     padded length (one jit shape each), chunks to power-of-two row counts,
     zero-pads, and reports per-row frame/sample counts.  Padded rows carry
     frame count 1 and are dropped by the caller.
+
+    If EVERY waveform is int16 PCM the staged chunks stay int16 — half the
+    host->device bytes — and the consuming device programs normalize via
+    ``frontend.pcm_to_float`` (exact, see its docstring).  Mixed dtypes fall
+    back to float32 staging with int16 rows normalized on host.
     """
     utt_ids = list(waveforms)
     lengths = [len(waveforms[u]) for u in utt_ids]
+    dtype = (np.int16
+             if utt_ids and all(waveforms[u].dtype == np.int16 for u in utt_ids)
+             else np.float32)
     for bucket_len, idxs in sorted(bucket_indices(lengths, quantum).items()):
         for lo in range(0, len(idxs), batch_size):
             chunk = idxs[lo : lo + batch_size]
             rows = pow2_rows(len(chunk), batch_size)
-            W = np.zeros((rows, bucket_len), np.float32)
+            W = np.zeros((rows, bucket_len), dtype)
             ts = np.ones(rows, np.int32)
             ns = np.ones(rows, np.int32)
             for row, i in enumerate(chunk):
                 w = waveforms[utt_ids[i]]
+                if w.dtype == np.int16 and dtype == np.float32:
+                    w = w.astype(np.float32) * np.float32(1.0 / 32768.0)
                 W[row, : len(w)] = w
                 ts[row] = n_frames_fn(len(w))
                 ns[row] = len(w)

@@ -9,7 +9,9 @@ from sept_tpu.runtime.wavio import (
     decode_batch,
     decode_wav,
     have_native,
+    narrow_pcm16,
     write_wav,
 )
 
-__all__ = ["decode_batch", "decode_wav", "have_native", "write_wav"]
+__all__ = ["decode_batch", "decode_wav", "have_native", "narrow_pcm16",
+           "write_wav"]

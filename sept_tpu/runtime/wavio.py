@@ -15,7 +15,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["have_native", "decode_wav", "decode_batch", "write_wav"]
+__all__ = ["have_native", "decode_wav", "decode_batch", "narrow_pcm16",
+           "write_wav"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "csrc", "septio.cpp")
@@ -169,6 +170,33 @@ def decode_batch(
         n_threads,
     )
     return mat, lengths
+
+
+def narrow_pcm16(wave: np.ndarray) -> np.ndarray:
+    """Return ``wave`` as int16 iff the narrowing is LOSSLESS, else unchanged.
+
+    A decoded 16-bit PCM source at the target rate comes out of the decoder
+    as exactly n/32768 floats (both the native path, septio.cpp, and the
+    numpy fallback divide by 32768); those narrow back to int16 bit-exactly.
+    Resampled or mixed-down audio generally does not, and passes through as
+    float32 — this helper never loses precision.  Downstream, int16
+    waveforms are staged to the device at half the host->device bytes and
+    normalized on device (``ops.frontend.pcm_to_float``), the dominant cost
+    of the featurize stage on this environment (docs/ARCHITECTURE.md §2).
+    """
+    if wave.dtype == np.int16:
+        return wave
+    if wave.dtype != np.float32 or wave.ndim != 1:
+        return wave
+    scaled = wave * np.float32(32768.0)
+    rounded = np.rint(scaled)
+    if (
+        (scaled == rounded).all()
+        and (rounded >= -32768).all()
+        and (rounded <= 32767).all()
+    ):
+        return rounded.astype(np.int16)
+    return wave
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int = 16000) -> None:

@@ -104,6 +104,7 @@ class Predictor:
     @functools.partial(jax.jit, static_argnames=("self", "max_t"))
     def _predict(self, padded, n_frames, *, max_t, rng):
         b = padded.shape[0]
+        padded = F.pcm_to_float(padded)  # int16 PCM staging: exact
         feats = self._features(padded, max_t)  # (B, T, D)
         valid = (
             jax.lax.broadcasted_iota(jnp.int32, (b, max_t), 1) < n_frames[:, None]
@@ -129,7 +130,11 @@ class Predictor:
         )
 
     def predict(self, waveforms: list[np.ndarray], seed: int = 0) -> np.ndarray:
-        """list of 16 kHz float32 waveforms -> (B, n_classes) probabilities.
+        """list of 16 kHz waveforms -> (B, n_classes) probabilities.
+
+        Waveforms are float32 in [-1, 1) or raw int16 PCM (a uniform-int16
+        batch crosses host->device at half the bytes and is normalized on
+        device, bit-equal — ops/frontend.py::pcm_to_float).
 
         Shapes are BUCKETED before jit: the padded frame count rounds up to
         a ``win_len`` multiple and the batch rows to a power of two, so
@@ -150,7 +155,9 @@ class Predictor:
         from sept_tpu.ops.functionals import pow2_rows
 
         rows = pow2_rows(len(waveforms), 1 << 30)  # next pow2, unbounded
-        buf = np.zeros((rows, need), np.float32)
+        # int16 PCM waveforms stay int16 across host->device (half the
+        # bytes) and normalize on device (ops.frontend.pcm_to_float)
+        buf = np.zeros((rows, need), padded.dtype)
         w = min(padded.shape[1], need)
         buf[: len(waveforms), :w] = padded[:, :w]
         nf = np.ones(rows, np.int32)
@@ -296,8 +303,15 @@ class PredictionServer:
         GET  /healthz   -> {"status": "ok", "pred": ..., "cloaked": ...}
         POST /predict   -> body {"waveforms": [[float16k samples], ...],
                                  "seed": 0}
+                           or   {"waveforms_pcm16": ["<base64 of raw
+                                 little-endian int16 PCM>", ...], "seed": 0}
                            reply {"classes": [...], "probs": [[...], ...],
                                   "labels": [argmax class per waveform]}
+
+    ``waveforms_pcm16`` is the production wire format: base64 int16 PCM is
+    ~8x smaller than JSON float text, parses without float conversion, and
+    stays int16 all the way to the device (half the H2D bytes; normalized
+    on device bit-exactly — ops/frontend.py::pcm_to_float).
 
     Single jitted program per padded bucket shape.  Connections are handled
     on threads but /predict calls are serialized through one device lock
@@ -344,13 +358,26 @@ class PredictionServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n))
-                    waves = [np.asarray(w, np.float32)
-                             for w in req["waveforms"]]
-                    if not waves or any(w.ndim != 1 or not len(w)
-                                        for w in waves):
-                        raise ValueError(
-                            "waveforms must be non-empty 1-D sample lists"
-                        )
+                    if "waveforms_pcm16" in req:
+                        import base64
+
+                        waves = [
+                            np.frombuffer(base64.b64decode(b), "<i2")
+                            for b in req["waveforms_pcm16"]
+                        ]
+                        if not waves or any(not len(w) for w in waves):
+                            raise ValueError(
+                                "waveforms_pcm16 entries must be base64 of "
+                                "non-empty little-endian int16 PCM"
+                            )
+                    else:
+                        waves = [np.asarray(w, np.float32)
+                                 for w in req["waveforms"]]
+                        if not waves or any(w.ndim != 1 or not len(w)
+                                            for w in waves):
+                            raise ValueError(
+                                "waveforms must be non-empty 1-D sample lists"
+                            )
                     seed = int(req.get("seed", 0) or 0)
                 except (ValueError, KeyError, TypeError) as e:
                     return self._send(400, {"error": str(e)})

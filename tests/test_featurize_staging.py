@@ -82,3 +82,95 @@ def test_featurize_corpus_staged_matches_per_utterance_ops():
     for u, w in waves.items():
         want = np.asarray(mfcc_with_deltas(jnp.asarray(w)))
         np.testing.assert_allclose(store[u]["mfcc"], want, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# int16 PCM staging: half the H2D bytes, bit-equal results
+# ---------------------------------------------------------------------------
+
+
+def _pcm16_corpus(seed=3, lengths=(9000, 16000, 4500)):
+    rng = np.random.default_rng(seed)
+    pcm = {
+        f"u{i}": (rng.integers(-32768, 32768, n)).astype(np.int16)
+        for i, n in enumerate(lengths)
+    }
+    as_float = {u: w.astype(np.float32) / 32768.0 for u, w in pcm.items()}
+    return pcm, as_float
+
+
+@pytest.mark.parametrize("feature_type", ["mel_spec", "mfcc"])
+def test_featurize_corpus_int16_staging_bitwise_equal(feature_type):
+    pcm, f32 = _pcm16_corpus()
+    a = featurize_corpus(pcm, feature_type=feature_type, include_gemaps=False)
+    b = featurize_corpus(f32, feature_type=feature_type, include_gemaps=False)
+    for u in pcm:
+        for k in a[u]:
+            np.testing.assert_array_equal(a[u][k], b[u][k])
+
+
+def test_functionals_int16_staging_bitwise_equal():
+    from sept_tpu.ops.emobase import combined_functionals_batch
+
+    pcm, f32 = _pcm16_corpus(seed=4, lengths=(8000, 12000))
+    g_a, e_a = combined_functionals_batch(pcm)
+    g_b, e_b = combined_functionals_batch(f32)
+    for u in pcm:
+        np.testing.assert_array_equal(g_a[u], g_b[u])
+        np.testing.assert_array_equal(e_a[u], e_b[u])
+
+
+def test_device_ingest_int16_staging_bitwise_equal():
+    from sept_tpu.data.device_pipeline import device_ingest
+
+    pcm, f32 = _pcm16_corpus(seed=5, lengths=(40000, 40000, 40000, 40000))
+    spk = np.array([0, 0, 1, 1], np.int32)
+    emo = np.array([0, 1, 2, 3], np.int32)
+    gen = emo % 2
+    a = device_ingest(list(pcm.values()), spk, emo, gen)
+    b = device_ingest(list(f32.values()), spk, emo, gen)
+    np.testing.assert_array_equal(np.asarray(a.windows), np.asarray(b.windows))
+    np.testing.assert_array_equal(np.asarray(a.weight), np.asarray(b.weight))
+
+
+def test_mixed_dtype_corpus_falls_back_to_float32_staging():
+    pcm, f32 = _pcm16_corpus(seed=6, lengths=(9000, 12000))
+    mixed = {"u0": pcm["u0"], "u1": f32["u1"]}  # int16 + float32
+    a = featurize_corpus(mixed, feature_type="mel_spec", include_gemaps=False)
+    b = featurize_corpus(f32, feature_type="mel_spec", include_gemaps=False)
+    for u in mixed:
+        np.testing.assert_array_equal(a[u]["mel1"], b[u]["mel1"])
+
+
+def test_narrow_pcm16_lossless_only():
+    from sept_tpu.runtime import narrow_pcm16
+
+    pcm = np.array([-32768, -1, 0, 1, 32767], np.int16)
+    dec = pcm.astype(np.float32) / 32768.0  # what the decoders emit
+    out = narrow_pcm16(dec)
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out, pcm)
+    # resampled-looking (non-representable) audio passes through untouched
+    lossy = np.array([0.1, 0.2, 1 / 3], np.float32)
+    assert narrow_pcm16(lossy) is lossy
+    # values outside int16 range must not be narrowed
+    hot = np.array([1.0, -1.5], np.float32)
+    assert narrow_pcm16(hot) is hot
+
+
+def test_prepare_waves_mixed_dtype_equal_length():
+    """Equal-length fast path: a mixed int16+float32 batch must normalize
+    the int16 rows on host (np.stack promotion alone would leave raw
+    +/-32768-scale values in the float32 stack)."""
+    from sept_tpu.data.device_pipeline import prepare_waves
+
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-32768, 32768, 9000).astype(np.int16)
+    f32 = rng.standard_normal(9000).astype(np.float32)
+    padded, frames = prepare_waves([pcm, f32])
+    assert padded.dtype == np.float32
+    want, _ = prepare_waves([pcm.astype(np.float32) / 32768.0, f32])
+    np.testing.assert_array_equal(padded, want)
+    # uniform int16 batches stay int16 (half the staged bytes)
+    padded16, _ = prepare_waves([pcm, pcm[::-1].copy()])
+    assert padded16.dtype == np.int16

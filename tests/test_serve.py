@@ -348,3 +348,68 @@ def test_norm_stats_path_masks_pad_frames(rng):
     longer = rng.standard_normal(18000).astype(np.float32)
     batched = Predictor(params, stats, **kw).predict([w, longer])
     np.testing.assert_allclose(alone[0], batched[0], atol=1e-5)
+
+
+def test_predict_accepts_int16_pcm(rng):
+    """Raw int16 PCM waveforms predict identically to their float32
+    normalization (staged at half the bytes, normalized on device —
+    ops/frontend.py::pcm_to_float)."""
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    pcm = [rng.integers(-32768, 32768, 12000 + 2000 * i).astype(np.int16)
+           for i in range(3)]
+    f32 = [w.astype(np.float32) / 32768.0 for w in pcm]
+    np.testing.assert_allclose(p.predict(pcm), p.predict(f32), atol=1e-6)
+    # mixed int16 + float32 batches normalize on host, same result
+    mixed = [pcm[0], f32[1], pcm[2]]
+    np.testing.assert_allclose(p.predict(mixed), p.predict(f32), atol=1e-6)
+
+
+def test_http_pcm16_route(rng):
+    """The compact wire format: base64 int16 PCM bodies predict identically
+    to the JSON float path."""
+    import base64
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    server = PredictionServer(p, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    pcm = [rng.integers(-32768, 32768, n).astype(np.int16)
+           for n in (12000, 14000)]
+    try:
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"waveforms_pcm16": [
+                base64.b64encode(w.astype("<i2").tobytes()).decode()
+                for w in pcm
+            ]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        out = json.load(urllib.request.urlopen(req))
+        probs = np.asarray(out["probs"])
+        assert probs.shape == (2, 4)
+        direct = p.predict([w.astype(np.float32) / 32768.0 for w in pcm])
+        np.testing.assert_allclose(probs, direct, atol=1e-6)
+
+        # empty / undecodable pcm16 entries -> 400
+        for bad in ([""], ["!!!not-base64!!!"]):
+            req = urllib.request.Request(
+                f"{base}/predict",
+                data=json.dumps({"waveforms_pcm16": bad}).encode(),
+            )
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        server.shutdown()

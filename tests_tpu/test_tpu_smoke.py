@@ -249,3 +249,26 @@ def test_fused_conv_block_compiled_parity():
     for name, a, b in zip(["dk", "db", "dgamma", "dbeta"], g, g_ref):
         s = max(float(jnp.abs(b).max()), 1.0)
         assert float(jnp.abs(a - b).max()) < 0.05 * s, name
+
+
+def test_int16_pcm_staging_bit_equal_on_chip():
+    """int16 PCM staging (half the H2D bytes) must be bit-equal to float32
+    staging on the real backend: the on-device 2^-15 normalize is exact
+    (ops/frontend.py::pcm_to_float) regardless of platform."""
+    from sept_tpu.data.featurize import featurize_corpus
+    from sept_tpu.ops.emobase import combined_functionals_batch
+
+    rng = np.random.default_rng(11)
+    pcm = {f"u{i}": rng.integers(-32768, 32768, 9000 + 1000 * i).astype(np.int16)
+           for i in range(3)}
+    f32 = {u: w.astype(np.float32) / 32768.0 for u, w in pcm.items()}
+    a = featurize_corpus(pcm, feature_type="mel_spec", include_gemaps=False)
+    b = featurize_corpus(f32, feature_type="mel_spec", include_gemaps=False)
+    for u in pcm:
+        np.testing.assert_array_equal(a[u]["mel1"], b[u]["mel1"])
+        np.testing.assert_array_equal(a[u]["mel2"], b[u]["mel2"])
+    ga, ea = combined_functionals_batch(pcm)
+    gb, eb = combined_functionals_batch(f32)
+    for u in pcm:
+        np.testing.assert_array_equal(ga[u], gb[u])
+        np.testing.assert_array_equal(ea[u], eb[u])
