@@ -46,6 +46,10 @@ def main(argv=None):
     p.add_argument("--win_len", type=int, default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="micro-batch concurrent /predict requests arriving "
+                        "within this window into one device program "
+                        "(0 = off; ~5-10 ms is a good production setting)")
     args = p.parse_args(argv)
 
     from sept_tpu.cli.common import setup_seed
@@ -71,7 +75,8 @@ def main(argv=None):
         suppression_ratio=args.suppression_ratio,
         **overrides,
     )
-    server = PredictionServer(predictor, host=args.host, port=args.port)
+    server = PredictionServer(predictor, host=args.host, port=args.port,
+                              batch_window_ms=args.batch_window_ms)
     print(f"serving {args.artifact} fold{args.fold}"
           + (f" + cloak {args.cloak}" if args.cloak else "")
           + f" on http://{server.host}:{server.port}", flush=True)

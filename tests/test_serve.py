@@ -413,3 +413,150 @@ def test_http_pcm16_route(rng):
                 assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_micro_batching_coalesces_concurrent_requests(rng):
+    """With batch_window_ms on, concurrent same-seed requests run as ONE
+    predictor call and every caller gets its own slice, identical to
+    individual dispatch."""
+    import json
+    import threading
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    calls = []
+    real_predict = p.predict
+
+    def counting_predict(waves, seed=0):
+        calls.append(len(waves))
+        return real_predict(waves, seed)
+
+    p.predict = counting_predict
+    # warm the compiled buckets so the batched call is not the first
+    waves = [rng.standard_normal(12000).astype(np.float32)
+             for _ in range(4)]
+    real_predict(waves)
+    real_predict(waves[:1])
+    calls.clear()
+
+    server = PredictionServer(p, port=0, batch_window_ms=300)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    results = [None] * 4
+
+    def fire(i):
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"waveforms": [waves[i].tolist()]}).encode(),
+        )
+        results[i] = json.load(urllib.request.urlopen(req))
+
+    try:
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert all(r is not None for r in results)
+        # fewer predictor calls than requests: at least some coalesced
+        assert len(calls) < 4, calls
+        assert sum(calls) == 4, calls
+        direct = real_predict(waves)
+        for i, r in enumerate(results):
+            np.testing.assert_allclose(
+                np.asarray(r["probs"])[0], direct[i], atol=1e-5)
+    finally:
+        server.shutdown()
+
+
+def test_micro_batching_keeps_seeds_separate(rng):
+    """Different seeds must NOT merge (cloak noise is seed-driven): each
+    seed's batched result equals its individual dispatch."""
+    import json
+    import threading
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    noise_params = {
+        "locs": jnp.zeros((WIN, D)),
+        "rhos": jnp.full((WIN, D), 2.0),
+    }
+    p = CloakedPredictor(params, stats, hidden_size=8, feature_len=D,
+                         win_len=WIN, shift_len=15,
+                         noise_params=noise_params, max_scale=5.0)
+    wave = rng.standard_normal(12000).astype(np.float32)
+    direct = {s: p.predict([wave], seed=s) for s in (0, 7)}
+
+    server = PredictionServer(p, port=0, batch_window_ms=200)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    results = {}
+
+    def fire(seed):
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"waveforms": [wave.tolist()],
+                             "seed": seed}).encode(),
+        )
+        results[seed] = np.asarray(
+            json.load(urllib.request.urlopen(req))["probs"])
+
+    try:
+        threads = [threading.Thread(target=fire, args=(s,)) for s in (0, 7)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        for s in (0, 7):
+            np.testing.assert_allclose(results[s][0], direct[s][0], atol=1e-5)
+        assert np.abs(direct[0][0] - direct[7][0]).max() > 1e-6
+    finally:
+        server.shutdown()
+
+
+def test_micro_batching_propagates_errors(rng):
+    """A failing batched prediction returns HTTP 500 to every caller in the
+    group instead of hanging them."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    p.params = {"broken": jnp.zeros((1,))}
+    server = PredictionServer(p, port=0, batch_window_ms=100)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    wave = rng.standard_normal(12000).tolist()
+    codes = []
+
+    def fire():
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"waveforms": [wave]}).encode(),
+        )
+        try:
+            urllib.request.urlopen(req)
+            codes.append(200)
+        except urllib.error.HTTPError as e:
+            codes.append(e.code)
+
+    try:
+        threads = [threading.Thread(target=fire) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert codes == [500, 500, 500], codes
+    finally:
+        server.shutdown()
