@@ -301,6 +301,8 @@ class PredictionServer:
 
     Routes:
         GET  /healthz   -> {"status": "ok", "pred": ..., "cloaked": ...}
+        GET  /metrics   -> request/error/waveform counters, device-call
+                           latency quantiles (ms), micro-batch size stats
         POST /predict   -> body {"waveforms": [[float16k samples], ...],
                                  "seed": 0}
                            or   {"waveforms_pcm16": ["<base64 of raw
@@ -342,6 +344,52 @@ class PredictionServer:
 
         device_lock = threading.Lock()
 
+        # ---- observability: counters + a sliding latency window ----
+        stats_lock = threading.Lock()
+        stats = {"requests_total": 0, "errors_total": 0,
+                 "waveforms_total": 0, "device_calls_total": 0,
+                 "batched_requests_total": 0}
+        recent_ms: list = []  # device-call latencies, last _WINDOW kept
+        recent_batch: list = []  # waveforms per device call
+        _WINDOW = 1024
+
+        def _timed_predict(waves, seed, n_requests):
+            t0 = time.perf_counter()
+            with device_lock:
+                probs = predictor.predict(waves, seed=seed)
+            ms = (time.perf_counter() - t0) * 1e3
+            with stats_lock:
+                stats["device_calls_total"] += 1
+                stats["waveforms_total"] += len(waves)
+                if n_requests > 1:
+                    stats["batched_requests_total"] += n_requests
+                recent_ms.append(ms)
+                recent_batch.append(len(waves))
+                del recent_ms[:-_WINDOW], recent_batch[:-_WINDOW]
+            return probs
+
+        def _metrics():
+            with stats_lock:
+                out = dict(stats)
+                ms, bt = list(recent_ms), list(recent_batch)
+            if ms:
+                q = np.percentile(ms, [50, 90, 99])
+                out["device_call_ms"] = {
+                    "p50": round(float(q[0]), 2),
+                    "p90": round(float(q[1]), 2),
+                    "p99": round(float(q[2]), 2),
+                    "window": len(ms),
+                }
+                out["waveforms_per_device_call"] = {
+                    "mean": round(float(np.mean(bt)), 2),
+                    "max": int(max(bt)),
+                }
+            out["micro_batching"] = (
+                {"batch_window_ms": batch_window_ms}
+                if batch_window_ms > 0 else None
+            )
+            return out
+
         class _Pending:
             __slots__ = ("waves", "seed", "done", "result", "error")
 
@@ -357,8 +405,7 @@ class PredictionServer:
         def _run_batch(group):
             flat = [w for p in group for w in p.waves]
             try:
-                with device_lock:
-                    probs = predictor.predict(flat, seed=group[0].seed)
+                probs = _timed_predict(flat, group[0].seed, len(group))
             except Exception as e:
                 for p in group:
                     p.error = e
@@ -420,8 +467,7 @@ class PredictionServer:
         def predict_waves(waves, seed):
             """One request's prediction, through the micro-batcher if on."""
             if self._batcher_thread is None:
-                with device_lock:
-                    return predictor.predict(waves, seed=seed)
+                return _timed_predict(waves, seed, 1)
             p = _Pending(waves, seed)
             batch_queue.put(p)
             p.done.wait()
@@ -449,12 +495,16 @@ class PredictionServer:
                     self._send(200, {"status": "ok",
                                      "pred": predictor.model.pred,
                                      "cloaked": cloaked})
+                elif self.path == "/metrics":
+                    self._send(200, _metrics())
                 else:
                     self._send(404, {"error": "unknown route"})
 
             def do_POST(self):
                 if self.path != "/predict":
                     return self._send(404, {"error": "unknown route"})
+                with stats_lock:
+                    stats["requests_total"] += 1
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n))
@@ -480,11 +530,15 @@ class PredictionServer:
                             )
                     seed = int(req.get("seed", 0) or 0)
                 except (ValueError, KeyError, TypeError) as e:
+                    with stats_lock:
+                        stats["errors_total"] += 1
                     return self._send(400, {"error": str(e)})
                 try:
                     probs = predict_waves(waves, seed)
                 except Exception as e:  # any model/backend failure -> 500,
                     # never a dropped connection with no HTTP response
+                    with stats_lock:
+                        stats["errors_total"] += 1
                     return self._send(
                         500, {"error": f"{type(e).__name__}: {e}"}
                     )

@@ -560,3 +560,49 @@ def test_micro_batching_propagates_errors(rng):
         assert codes == [500, 500, 500], codes
     finally:
         server.shutdown()
+
+
+def test_metrics_endpoint(rng):
+    """/metrics exposes request counters, device-call latency quantiles and
+    micro-batch stats."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    server = PredictionServer(p, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        m0 = json.load(urllib.request.urlopen(f"{base}/metrics"))
+        assert m0["requests_total"] == 0 and "device_call_ms" not in m0
+
+        waves = [rng.standard_normal(12000).tolist()]
+        for _ in range(2):
+            req = urllib.request.Request(
+                f"{base}/predict",
+                data=json.dumps({"waveforms": waves}).encode())
+            urllib.request.urlopen(req)
+        # one malformed request counts as an error
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/predict", data=b'{"waveforms": []}'))
+        except urllib.error.HTTPError:
+            pass
+
+        m = json.load(urllib.request.urlopen(f"{base}/metrics"))
+        assert m["requests_total"] == 3
+        assert m["errors_total"] == 1
+        assert m["device_calls_total"] == 2
+        assert m["waveforms_total"] == 2
+        assert m["device_call_ms"]["p50"] > 0
+        assert m["device_call_ms"]["p99"] >= m["device_call_ms"]["p50"]
+        assert m["waveforms_per_device_call"] == {"mean": 1.0, "max": 1}
+        assert m["micro_batching"] is None
+    finally:
+        server.shutdown()
