@@ -50,6 +50,11 @@ def main(argv=None):
                    help="micro-batch concurrent /predict requests arriving "
                         "within this window into one device program "
                         "(0 = off; ~5-10 ms is a good production setting)")
+    p.add_argument("--max_stream_s", type=float, default=30.0,
+                   help="streaming sessions keep only this trailing window "
+                        "of audio (bounds per-push cost and jit shapes)")
+    p.add_argument("--stream_ttl_s", type=float, default=300.0,
+                   help="idle streaming sessions expire after this long")
     args = p.parse_args(argv)
 
     from sept_tpu.cli.common import setup_seed
@@ -76,7 +81,9 @@ def main(argv=None):
         **overrides,
     )
     server = PredictionServer(predictor, host=args.host, port=args.port,
-                              batch_window_ms=args.batch_window_ms)
+                              batch_window_ms=args.batch_window_ms,
+                              max_stream_s=args.max_stream_s,
+                              stream_ttl_s=args.stream_ttl_s)
     print(f"serving {args.artifact} fold{args.fold}"
           + (f" + cloak {args.cloak}" if args.cloak else "")
           + f" on http://{server.host}:{server.port}", flush=True)

@@ -309,6 +309,19 @@ class PredictionServer:
                                  little-endian int16 PCM>", ...], "seed": 0}
                            reply {"classes": [...], "probs": [[...], ...],
                                   "labels": [argmax class per waveform]}
+        POST /stream            -> {"session": id}   (optional {"seed": n})
+        POST /stream/<id>       -> append {"pcm16": "<base64 int16>"} or
+                                   {"samples": [...]}; reply adds the
+                                   rolling {"probs": [...], "label": ...,
+                                   "samples": total} over the session tail
+        DELETE /stream/<id>     -> drop the session
+
+    Streaming serves the real-time use case (a call-center dashboard, a
+    live demo): push ~0.5-1 s chunks, read the rolling prediction after
+    each push.  The session keeps only the trailing ``max_stream_s``
+    seconds (default 30), so per-push cost is bounded and the jit shapes
+    stay on the same O(log) bucket budget as /predict; idle sessions
+    expire after ``stream_ttl_s``.
 
     ``waveforms_pcm16`` is the production wire format: base64 int16 PCM is
     ~8x smaller than JSON float text, parses without float conversion, and
@@ -335,12 +348,15 @@ class PredictionServer:
     """
 
     def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
-                 port: int = 0, batch_window_ms: float = 0.0):
+                 port: int = 0, batch_window_ms: float = 0.0,
+                 max_stream_s: float = 30.0, stream_ttl_s: float = 300.0,
+                 max_sessions: int = 256, sample_rate: int = 16000):
         import http.server
         import json
         import queue
         import threading
         import time
+        import uuid
 
         device_lock = threading.Lock()
 
@@ -475,6 +491,45 @@ class PredictionServer:
                 raise p.error
             return p.result
 
+        # ---- streaming sessions: id -> accumulated trailing samples ----
+        sessions_lock = threading.Lock()
+        sessions: dict = {}  # id -> {"wave": np.ndarray, "seed": int, "t": float}
+        max_samples = int(max_stream_s * sample_rate)
+
+        def _stream_create(seed):
+            sid = uuid.uuid4().hex[:16]
+            with sessions_lock:
+                # evict expired, then oldest-over-capacity
+                now = time.monotonic()
+                for k in [k for k, s in sessions.items()
+                          if now - s["t"] > stream_ttl_s]:
+                    del sessions[k]
+                while len(sessions) >= max_sessions:
+                    del sessions[min(sessions, key=lambda k: sessions[k]["t"])]
+                sessions[sid] = {"wave": np.zeros(0, np.int16), "seed": seed,
+                                 "t": now}
+            return sid
+
+        def _stream_append(sid, chunk):
+            """Append a chunk; return (tail_wave, seed) or None if unknown/
+            expired."""
+            with sessions_lock:
+                s = sessions.get(sid)
+                now = time.monotonic()
+                if s is None or now - s["t"] > stream_ttl_s:
+                    sessions.pop(sid, None)
+                    return None
+                if s["wave"].dtype != chunk.dtype:
+                    # sessions may mix pcm16 and float chunks: widen to f32
+                    def f32(w):
+                        return (w.astype(np.float32) / 32768.0
+                                if w.dtype == np.int16 else w)
+
+                    s["wave"], chunk = f32(s["wave"]), f32(chunk)
+                s["wave"] = np.concatenate([s["wave"], chunk])[-max_samples:]
+                s["t"] = now
+                return s["wave"], s["seed"]
+
         classes = _CLASS_NAMES[predictor.model.pred]
         cloaked = isinstance(predictor, CloakedPredictor)
 
@@ -500,7 +555,69 @@ class PredictionServer:
                 else:
                     self._send(404, {"error": "unknown route"})
 
+            def _read_json(self):
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                return json.loads(raw) if raw else {}
+
+            def do_DELETE(self):
+                if not self.path.startswith("/stream/"):
+                    return self._send(404, {"error": "unknown route"})
+                sid = self.path[len("/stream/"):]
+                with sessions_lock:
+                    known = sessions.pop(sid, None) is not None
+                if known:
+                    self._send(200, {"closed": sid})
+                else:
+                    self._send(404, {"error": f"unknown session {sid!r}"})
+
+            def _do_stream(self):
+                if self.path == "/stream":  # create
+                    try:
+                        seed = int(self._read_json().get("seed", 0) or 0)
+                    except (ValueError, TypeError, json.JSONDecodeError) as e:
+                        return self._send(400, {"error": str(e)})
+                    return self._send(200, {"session": _stream_create(seed)})
+                sid = self.path[len("/stream/"):]
+                try:
+                    req = self._read_json()
+                    if "pcm16" in req:
+                        import base64
+
+                        chunk = np.frombuffer(
+                            base64.b64decode(req["pcm16"]), "<i2")
+                    else:
+                        chunk = np.asarray(req["samples"], np.float32)
+                    if chunk.ndim != 1 or not len(chunk):
+                        raise ValueError(
+                            "chunk must be non-empty 1-D audio samples")
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    return self._send(400, {"error": str(e)})
+                got = _stream_append(sid, chunk)
+                if got is None:
+                    return self._send(
+                        404, {"error": f"unknown or expired session {sid!r}"})
+                wave, seed = got
+                try:
+                    probs = predict_waves([wave], seed)
+                except Exception as e:
+                    with stats_lock:
+                        stats["errors_total"] += 1
+                    return self._send(
+                        500, {"error": f"{type(e).__name__}: {e}"})
+                self._send(200, {
+                    "classes": list(classes),
+                    "probs": probs[0].tolist(),
+                    "label": classes[int(probs[0].argmax())],
+                    "samples": int(len(wave)),
+                })
+
             def do_POST(self):
+                if self.path == "/stream" or self.path.startswith("/stream/"):
+                    with stats_lock:
+                        stats["requests_total"] += 1
+                    return self._do_stream()
                 if self.path != "/predict":
                     return self._send(404, {"error": "unknown route"})
                 with stats_lock:

@@ -606,3 +606,96 @@ def test_metrics_endpoint(rng):
         assert m["micro_batching"] is None
     finally:
         server.shutdown()
+
+
+def _open(url, data=None, method=None):
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=None if data is None else _json.dumps(data).encode(),
+        method=method)
+    return _json.load(urllib.request.urlopen(req))
+
+
+def test_streaming_session_rolling_prediction(rng):
+    """Push chunks, read a rolling prediction over the accumulated tail;
+    the final push must equal a one-shot /predict of the same samples."""
+    import base64
+    import threading
+    import urllib.error
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    server = PredictionServer(p, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    pcm = rng.integers(-32768, 32768, 12000).astype(np.int16)
+    try:
+        sid = _open(f"{base}/stream", {})["session"]
+        outs = []
+        for lo in range(0, 12000, 4000):
+            chunk = pcm[lo : lo + 4000]
+            outs.append(_open(
+                f"{base}/stream/{sid}",
+                {"pcm16": base64.b64encode(chunk.tobytes()).decode()}))
+        assert [o["samples"] for o in outs] == [4000, 8000, 12000]
+        direct = p.predict([pcm])
+        np.testing.assert_allclose(outs[-1]["probs"], direct[0], atol=1e-5)
+        assert outs[-1]["label"] in outs[-1]["classes"]
+
+        # mixed float chunk widens the session, still predicts
+        out = _open(f"{base}/stream/{sid}",
+                    {"samples": rng.standard_normal(2000).tolist()})
+        assert out["samples"] == 14000
+
+        # close; further pushes are 404
+        assert _open(f"{base}/stream/{sid}", method="DELETE") == {
+            "closed": sid}
+        try:
+            _open(f"{base}/stream/{sid}", {"samples": [0.1, 0.2]})
+            assert False, "expected HTTP 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_streaming_tail_window_and_ttl(rng):
+    """The session keeps only max_stream_s of audio, and expired sessions
+    answer 404."""
+    import threading
+    import time
+    import urllib.error
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    # 1 s tail at 16 kHz, 1.5 s ttl
+    server = PredictionServer(p, port=0, max_stream_s=1.0, stream_ttl_s=1.5)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        sid = _open(f"{base}/stream", {"seed": 3})["session"]
+        w = rng.standard_normal(12000).astype(np.float32)
+        out = _open(f"{base}/stream/{sid}", {"samples": w.tolist()})
+        assert out["samples"] == 12000
+        out = _open(f"{base}/stream/{sid}", {"samples": w.tolist()})
+        assert out["samples"] == 16000  # trailing 1 s only
+        # prediction equals one-shot over exactly the trailing window
+        tail = np.concatenate([w, w])[-16000:]
+        np.testing.assert_allclose(out["probs"], p.predict([tail], seed=3)[0],
+                                   atol=1e-5)
+        time.sleep(1.6)  # expire
+        try:
+            _open(f"{base}/stream/{sid}", {"samples": [0.1, 0.2]})
+            assert False, "expected HTTP 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
