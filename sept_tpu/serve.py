@@ -370,10 +370,12 @@ class PredictionServer:
         _WINDOW = 1024
 
         def _timed_predict(waves, seed, n_requests):
-            t0 = time.perf_counter()
             with device_lock:
+                # timed INSIDE the lock: device_call_ms measures the device
+                # call, not queue wait behind other requests
+                t0 = time.perf_counter()
                 probs = predictor.predict(waves, seed=seed)
-            ms = (time.perf_counter() - t0) * 1e3
+                ms = (time.perf_counter() - t0) * 1e3
             with stats_lock:
                 stats["device_calls_total"] += 1
                 stats["waveforms_total"] += len(waves)
@@ -419,19 +421,22 @@ class PredictionServer:
         batch_queue: queue.Queue = queue.Queue()
 
         def _run_batch(group):
-            flat = [w for p in group for w in p.waves]
+            # NOTHING here may escape: an uncaught exception would kill the
+            # batcher thread and strand every queued request forever
             try:
+                flat = [w for p in group for w in p.waves]
                 probs = _timed_predict(flat, group[0].seed, len(group))
+                lo = 0
+                for p in group:
+                    p.result = probs[lo : lo + len(p.waves)]
+                    lo += len(p.waves)
             except Exception as e:
                 for p in group:
-                    p.error = e
+                    if p.result is None:
+                        p.error = e
+            finally:
+                for p in group:
                     p.done.set()
-                return
-            lo = 0
-            for p in group:
-                p.result = probs[lo : lo + len(p.waves)]
-                lo += len(p.waves)
-                p.done.set()
 
         def _batcher():
             while True:
@@ -482,11 +487,16 @@ class PredictionServer:
 
         def predict_waves(waves, seed):
             """One request's prediction, through the micro-batcher if on."""
-            if self._batcher_thread is None:
+            batcher = self._batcher_thread
+            if batcher is None or not batcher.is_alive():
                 return _timed_predict(waves, seed, 1)
             p = _Pending(waves, seed)
             batch_queue.put(p)
-            p.done.wait()
+            while not p.done.wait(1.0):
+                if not batcher.is_alive():
+                    # the batcher exited (shutdown race) without serving this
+                    # request: dispatch directly rather than hang the caller
+                    return _timed_predict(waves, seed, 1)
             if p.error is not None:
                 raise p.error
             return p.result
@@ -560,6 +570,18 @@ class PredictionServer:
                 raw = self.rfile.read(n)
                 return json.loads(raw) if raw else {}
 
+            def _fail(self, code, obj):
+                """4xx/5xx response, counted in errors_total."""
+                with stats_lock:
+                    stats["errors_total"] += 1
+                self._send(code, obj)
+
+            @staticmethod
+            def _decode_pcm16(b64):
+                import base64
+
+                return np.frombuffer(base64.b64decode(b64), "<i2")
+
             def do_DELETE(self):
                 if not self.path.startswith("/stream/"):
                     return self._send(404, {"error": "unknown route"})
@@ -576,16 +598,13 @@ class PredictionServer:
                     try:
                         seed = int(self._read_json().get("seed", 0) or 0)
                     except (ValueError, TypeError, json.JSONDecodeError) as e:
-                        return self._send(400, {"error": str(e)})
+                        return self._fail(400, {"error": str(e)})
                     return self._send(200, {"session": _stream_create(seed)})
                 sid = self.path[len("/stream/"):]
                 try:
                     req = self._read_json()
                     if "pcm16" in req:
-                        import base64
-
-                        chunk = np.frombuffer(
-                            base64.b64decode(req["pcm16"]), "<i2")
+                        chunk = self._decode_pcm16(req["pcm16"])
                     else:
                         chunk = np.asarray(req["samples"], np.float32)
                     if chunk.ndim != 1 or not len(chunk):
@@ -593,18 +612,19 @@ class PredictionServer:
                             "chunk must be non-empty 1-D audio samples")
                 except (ValueError, KeyError, TypeError,
                         json.JSONDecodeError) as e:
-                    return self._send(400, {"error": str(e)})
+                    return self._fail(400, {"error": str(e)})
                 got = _stream_append(sid, chunk)
                 if got is None:
-                    return self._send(
+                    return self._fail(
                         404, {"error": f"unknown or expired session {sid!r}"})
                 wave, seed = got
                 try:
-                    probs = predict_waves([wave], seed)
+                    # direct dispatch, NOT the micro-batcher: a long session
+                    # tail merged with short /predict requests would pad the
+                    # whole device batch up to the stream's length bucket
+                    probs = _timed_predict([wave], seed, 1)
                 except Exception as e:
-                    with stats_lock:
-                        stats["errors_total"] += 1
-                    return self._send(
+                    return self._fail(
                         500, {"error": f"{type(e).__name__}: {e}"})
                 self._send(200, {
                     "classes": list(classes),
@@ -623,15 +643,10 @@ class PredictionServer:
                 with stats_lock:
                     stats["requests_total"] += 1
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(n))
+                    req = self._read_json()
                     if "waveforms_pcm16" in req:
-                        import base64
-
-                        waves = [
-                            np.frombuffer(base64.b64decode(b), "<i2")
-                            for b in req["waveforms_pcm16"]
-                        ]
+                        waves = [self._decode_pcm16(b)
+                                 for b in req["waveforms_pcm16"]]
                         if not waves or any(not len(w) for w in waves):
                             raise ValueError(
                                 "waveforms_pcm16 entries must be base64 of "
@@ -646,17 +661,14 @@ class PredictionServer:
                                 "waveforms must be non-empty 1-D sample lists"
                             )
                     seed = int(req.get("seed", 0) or 0)
-                except (ValueError, KeyError, TypeError) as e:
-                    with stats_lock:
-                        stats["errors_total"] += 1
-                    return self._send(400, {"error": str(e)})
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    return self._fail(400, {"error": str(e)})
                 try:
                     probs = predict_waves(waves, seed)
                 except Exception as e:  # any model/backend failure -> 500,
                     # never a dropped connection with no HTTP response
-                    with stats_lock:
-                        stats["errors_total"] += 1
-                    return self._send(
+                    return self._fail(
                         500, {"error": f"{type(e).__name__}: {e}"}
                     )
                 self._send(200, {
@@ -673,9 +685,12 @@ class PredictionServer:
         self._httpd.serve_forever()
 
     def shutdown(self):
+        # HTTP first: once no new requests can arrive, the batcher sentinel
+        # drains whatever is queued and exits (requests that slip through
+        # the race fall back to direct dispatch — predict_waves)
+        self._httpd.shutdown()
+        self._httpd.server_close()
         if self._batcher_thread is not None:
             self._batch_queue.put(None)  # sentinel: drain and exit
             self._batcher_thread.join(timeout=30)
             self._batcher_thread = None
-        self._httpd.shutdown()
-        self._httpd.server_close()

@@ -436,10 +436,12 @@ def test_micro_batching_coalesces_concurrent_requests(rng):
         return real_predict(waves, seed)
 
     p.predict = counting_predict
-    # warm the compiled buckets so the batched call is not the first
+    # warm EVERY row bucket a 4-way split can produce (4, 2+2, 3+1, ...) so
+    # no compile lands inside the timed window (minutes on a real chip)
     waves = [rng.standard_normal(12000).astype(np.float32)
              for _ in range(4)]
     real_predict(waves)
+    real_predict(waves[:2])
     real_predict(waves[:1])
     calls.clear()
 
@@ -681,8 +683,11 @@ def test_streaming_tail_window_and_ttl(rng):
     threading.Thread(target=server.serve_forever, daemon=True).start()
     base = f"http://{server.host}:{server.port}"
     try:
-        sid = _open(f"{base}/stream", {"seed": 3})["session"]
         w = rng.standard_normal(12000).astype(np.float32)
+        # warm the shape bucket OUTSIDE the session: a first-push compile
+        # longer than the ttl would expire the session mid-test
+        p.predict([w], seed=3)
+        sid = _open(f"{base}/stream", {"seed": 3})["session"]
         out = _open(f"{base}/stream/{sid}", {"samples": w.tolist()})
         assert out["samples"] == 12000
         out = _open(f"{base}/stream/{sid}", {"samples": w.tolist()})
