@@ -99,11 +99,19 @@ def main(argv=None):
         suppression_ratio=args.suppression_ratio,
         **overrides,
     )
-    classes = _CLASS_NAMES[predictor.model.pred]
+    multitask = predictor.model.pred == "multitask"
+    if multitask:
+        heads = [(t, _CLASS_NAMES[t]) for t in ("emotion", "gender")]
+        header = (["utt_id", "path"]
+                  + [f"label_{t}" for t, _ in heads]
+                  + [f"p_{c}" for _, cs in heads for c in cs])
+    else:
+        classes = _CLASS_NAMES[predictor.model.pred]
+        header = ["utt_id", "path", "label"] + [f"p_{c}" for c in classes]
 
     with open(args.out, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["utt_id", "path", "label"] + [f"p_{c}" for c in classes])
+        w.writerow(header)
         done = 0
         for lo in range(0, len(entries), args.batch_size):
             chunk = entries[lo : lo + args.batch_size]
@@ -119,9 +127,15 @@ def main(argv=None):
             probs = predictor.predict(waves, seed=args.seed)
             for row, i in enumerate(keep):
                 utt, path = chunk[i]
-                pr = probs[row]
-                w.writerow([utt, path, classes[int(np.argmax(pr))]]
-                           + [f"{x:.6f}" for x in pr])
+                if multitask:
+                    labels = [cs[int(np.argmax(probs[t][row]))]
+                              for t, cs in heads]
+                    ps = [f"{x:.6f}" for t, _ in heads for x in probs[t][row]]
+                    w.writerow([utt, path] + labels + ps)
+                else:
+                    pr = probs[row]
+                    w.writerow([utt, path, classes[int(np.argmax(pr))]]
+                               + [f"{x:.6f}" for x in pr])
             done += len(keep)
             print(f"{done}/{len(entries)} classified", flush=True)
     print(f"wrote {args.out}", flush=True)

@@ -122,15 +122,26 @@ class Predictor:
             {"params": self.params, "batch_stats": self.batch_stats}, flat,
             pooling=self.pooling,
         )
-        probs = jax.nn.softmax(logits, -1).reshape(b, n_win, -1)
         n_valid = jnp.maximum((n_frames - self.win_len) // self.shift_len, 0) + 1
         wvalid = jnp.arange(n_win)[None, :] < n_valid[:, None]
-        return jnp.sum(probs * wvalid[..., None], axis=1) / jnp.maximum(
-            jnp.sum(wvalid, axis=1)[:, None], 1
-        )
 
-    def predict(self, waveforms: list[np.ndarray], seed: int = 0) -> np.ndarray:
+        def vote(head_logits):
+            probs = jax.nn.softmax(head_logits, -1).reshape(b, n_win, -1)
+            return jnp.sum(probs * wvalid[..., None], axis=1) / jnp.maximum(
+                jnp.sum(wvalid, axis=1)[:, None], 1
+            )
+
+        # multitask models return (emotion, gender) logits; vote each head
+        if isinstance(logits, tuple):
+            return tuple(vote(h) for h in logits)
+        return vote(logits)
+
+    def predict(self, waveforms: list[np.ndarray], seed: int = 0):
         """list of 16 kHz waveforms -> (B, n_classes) probabilities.
+
+        A ``pred="multitask"`` model returns a dict instead:
+        ``{"emotion": (B, 4), "gender": (B, 2)}`` — both heads voted over
+        the same windows.
 
         Waveforms are float32 in [-1, 1) or raw int16 PCM (a uniform-int16
         batch crosses host->device at half the bytes and is normalized on
@@ -162,14 +173,17 @@ class Predictor:
         buf[: len(waveforms), :w] = padded[:, :w]
         nf = np.ones(rows, np.int32)
         nf[: len(waveforms)] = n_frames
-        return np.asarray(
-            self._predict(
-                jnp.asarray(buf),
-                jnp.asarray(nf),
-                max_t=max_t_b,
-                rng=jax.random.PRNGKey(seed),
-            )
-        )[: len(waveforms)]
+        out = self._predict(
+            jnp.asarray(buf),
+            jnp.asarray(nf),
+            max_t=max_t_b,
+            rng=jax.random.PRNGKey(seed),
+        )
+        n = len(waveforms)
+        if isinstance(out, tuple):  # multitask: one entry per head
+            return {"emotion": np.asarray(out[0])[:n],
+                    "gender": np.asarray(out[1])[:n]}
+        return np.asarray(out)[:n]
 
 
 class CloakedPredictor(Predictor):
@@ -309,6 +323,8 @@ class PredictionServer:
                                  little-endian int16 PCM>", ...], "seed": 0}
                            reply {"classes": [...], "probs": [[...], ...],
                                   "labels": [argmax class per waveform]}
+                           (a multitask model replies {"tasks": {"emotion":
+                           {...}, "gender": {...}}} with one block per head)
         POST /stream            -> {"session": id}   (optional {"seed": n})
         POST /stream/<id>       -> append {"pcm16": "<base64 int16>"} or
                                    {"samples": [...]}; reply adds the
@@ -428,8 +444,12 @@ class PredictionServer:
                 probs = _timed_predict(flat, group[0].seed, len(group))
                 lo = 0
                 for p in group:
-                    p.result = probs[lo : lo + len(p.waves)]
-                    lo += len(p.waves)
+                    hi = lo + len(p.waves)
+                    p.result = (
+                        {k: v[lo:hi] for k, v in probs.items()}
+                        if isinstance(probs, dict) else probs[lo:hi]
+                    )
+                    lo = hi
             except Exception as e:
                 for p in group:
                     if p.result is None:
@@ -540,8 +560,24 @@ class PredictionServer:
                 s["t"] = now
                 return s["wave"], s["seed"]
 
-        classes = _CLASS_NAMES[predictor.model.pred]
+        multitask = predictor.model.pred == "multitask"
+        classes = None if multitask else _CLASS_NAMES[predictor.model.pred]
         cloaked = isinstance(predictor, CloakedPredictor)
+
+        def _payload(probs):
+            """JSON body for one request's probabilities (B rows)."""
+            if isinstance(probs, dict):  # multitask: one block per head
+                return {"tasks": {
+                    task: {
+                        "classes": list(_CLASS_NAMES[task]),
+                        "probs": p.tolist(),
+                        "labels": [_CLASS_NAMES[task][i]
+                                   for i in p.argmax(-1)],
+                    }
+                    for task, p in probs.items()
+                }}
+            return {"classes": list(classes), "probs": probs.tolist(),
+                    "labels": [classes[i] for i in probs.argmax(-1)]}
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet by default
@@ -626,12 +662,19 @@ class PredictionServer:
                 except Exception as e:
                     return self._fail(
                         500, {"error": f"{type(e).__name__}: {e}"})
-                self._send(200, {
-                    "classes": list(classes),
-                    "probs": probs[0].tolist(),
-                    "label": classes[int(probs[0].argmax())],
-                    "samples": int(len(wave)),
-                })
+                if isinstance(probs, dict):
+                    body = {"tasks": {
+                        task: {"classes": list(_CLASS_NAMES[task]),
+                               "probs": p[0].tolist(),
+                               "label": _CLASS_NAMES[task][int(p[0].argmax())]}
+                        for task, p in probs.items()
+                    }}
+                else:
+                    body = {"classes": list(classes),
+                            "probs": probs[0].tolist(),
+                            "label": classes[int(probs[0].argmax())]}
+                body["samples"] = int(len(wave))
+                self._send(200, body)
 
             def do_POST(self):
                 if self.path == "/stream" or self.path.startswith("/stream/"):
@@ -671,11 +714,7 @@ class PredictionServer:
                     return self._fail(
                         500, {"error": f"{type(e).__name__}: {e}"}
                     )
-                self._send(200, {
-                    "classes": list(classes),
-                    "probs": probs.tolist(),
-                    "labels": [classes[i] for i in probs.argmax(-1)],
-                })
+                self._send(200, _payload(probs))
 
         self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True

@@ -704,3 +704,53 @@ def test_streaming_tail_window_and_ttl(rng):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_multitask_predictor_and_server(rng):
+    """A pred='multitask' artifact serves both heads: dict from predict(),
+    a per-task block over HTTP, and a rolling stream prediction."""
+    import json
+    import threading
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    model = Conv2dBiRNN(hidden_size=8, pred="multitask")
+    x = jnp.zeros((1, WIN, D, 1))
+    v = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
+    p = Predictor(v["params"], v["batch_stats"], pred="multitask",
+                  hidden_size=8, feature_len=D, win_len=WIN, shift_len=15)
+    waves = [rng.standard_normal(12000 + 2000 * i).astype(np.float32)
+             for i in range(2)]
+    out = p.predict(waves)
+    assert set(out) == {"emotion", "gender"}
+    assert out["emotion"].shape == (2, 4) and out["gender"].shape == (2, 2)
+    np.testing.assert_allclose(out["emotion"].sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(out["gender"].sum(-1), 1.0, atol=1e-5)
+
+    server = PredictionServer(p, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"waveforms": [w.tolist() for w in waves]
+                             }).encode())
+        body = json.load(urllib.request.urlopen(req))
+        assert set(body["tasks"]) == {"emotion", "gender"}
+        emo = body["tasks"]["emotion"]
+        assert emo["classes"] == ["neu", "hap", "sad", "ang"]
+        np.testing.assert_allclose(np.asarray(emo["probs"]), out["emotion"],
+                                   atol=1e-5)
+        gen = body["tasks"]["gender"]
+        assert gen["classes"] == ["F", "M"] and len(gen["labels"]) == 2
+
+        # streaming push reports both heads too
+        sid = _open(f"{base}/stream", {})["session"]
+        got = _open(f"{base}/stream/{sid}",
+                    {"samples": waves[0].tolist()})
+        assert set(got["tasks"]) == {"emotion", "gender"}
+        assert got["tasks"]["gender"]["label"] in ("F", "M")
+        assert got["samples"] == len(waves[0])
+    finally:
+        server.shutdown()
