@@ -29,42 +29,75 @@ def main(argv=None):
                         "functionals (reference extracts both alongside the "
                         "spectral features, audio_feature_extraction.py:188-189); "
                         "0 skips them for runs that train with global_feature=0")
+    p.add_argument("--decode_chunk", type=int, default=512,
+                   help="decode this many files at a time (0 = all at once): "
+                        "bounds host memory — decode_batch returns a "
+                        "rectangular (chunk, longest) buffer, which at "
+                        "whole-corpus scale is GBs — and overlaps the next "
+                        "chunk's threaded decode with this chunk's device "
+                        "featurization")
     args = p.parse_args(argv)
     setup_seed(args.seed)
 
     from sept_tpu.data.featurize import featurize_corpus
     from sept_tpu.data.store import save_feature_store, save_manifest
 
+    def featurize(waves):
+        return featurize_corpus(
+            waves,
+            feature_type=args.feature_type,
+            feature_len=args.input_spec_size,
+            include_gemaps=bool(args.functionals),
+        )
+
     if args.dataset in ("synthetic", "synthetic_hard"):
         from sept_tpu.data.synthetic import make_corpus, make_hard_corpus
 
         maker = make_hard_corpus if args.dataset == "synthetic_hard" else make_corpus
         corpus = maker(args.n_speakers, args.utts_per_speaker, args.seed)
-        manifest, waveforms = corpus.manifest, corpus.waveforms
+        manifest = corpus.manifest
+        store = featurize(corpus.waveforms)
     else:
         if not args.corpus_root:
             p.error(f"--corpus_root is required for dataset {args.dataset!r}")
+        from concurrent.futures import ThreadPoolExecutor
+
         from sept_tpu.data.walkers import walk_corpus
         from sept_tpu.runtime import decode_batch, narrow_pcm16
 
         manifest = walk_corpus(args.dataset, args.corpus_root)
-        paths = [u.path for u in manifest]
-        mat, lens = decode_batch(paths, target_sr=16000)
-        # narrow_pcm16: decoded 16-bit sources stage to device as int16
-        # (half the H2D bytes, bit-equal features — wavio.narrow_pcm16)
-        waveforms = {
-            u.utt_id: narrow_pcm16(mat[i, : lens[i]])
-            for i, u in enumerate(manifest)
-            if lens[i] > 0
-        }
-        manifest = [u for i, u in enumerate(manifest) if lens[i] > 0]
+        # size-sorted chunks: files of similar length decode together, so
+        # each rectangular decode buffer is tight and the length buckets
+        # inside featurize_corpus stay dense
+        order = sorted(range(len(manifest)),
+                       key=lambda i: os.path.getsize(manifest[i].path))
+        step = args.decode_chunk if args.decode_chunk > 0 else len(order)
+        chunks = [order[lo : lo + step] for lo in range(0, len(order), step)]
 
-    store = featurize_corpus(
-        waveforms,
-        feature_type=args.feature_type,
-        feature_len=args.input_spec_size,
-        include_gemaps=bool(args.functionals),
-    )
+        store, kept = {}, set()
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            def submit(idxs):
+                return ex.submit(
+                    decode_batch, [manifest[i].path for i in idxs],
+                    target_sr=16000)
+
+            fut = submit(chunks[0]) if chunks else None
+            for ci, idxs in enumerate(chunks):
+                mat, lens = fut.result()
+                if ci + 1 < len(chunks):
+                    # prefetch: the C++ decoder releases the GIL, so the
+                    # next chunk decodes while this one featurizes on device
+                    fut = submit(chunks[ci + 1])
+                # narrow_pcm16: decoded 16-bit sources stage to device as
+                # int16 (half the H2D bytes, bit-equal features)
+                waves = {
+                    manifest[i].utt_id: narrow_pcm16(mat[r, : lens[r]])
+                    for r, i in enumerate(idxs)
+                    if lens[r] > 0
+                }
+                kept.update(waves)
+                store.update(featurize(waves))
+        manifest = [u for u in manifest if u.utt_id in kept]
 
     out_dir = os.path.join(args.work_dir, "feature", args.feature_type, args.dataset)
     os.makedirs(out_dir, exist_ok=True)

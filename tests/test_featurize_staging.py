@@ -174,3 +174,43 @@ def test_prepare_waves_mixed_dtype_equal_length():
     # uniform int16 batches stay int16 (half the staged bytes)
     padded16, _ = prepare_waves([pcm, pcm[::-1].copy()])
     assert padded16.dtype == np.int16
+
+
+def test_featurize_cli_chunked_decode_matches_single_pass(tmp_path):
+    """The corpus decode path: size-sorted chunked decode (+prefetch) must
+    produce the same feature store and manifest as one-shot decode."""
+    import os
+
+    from sept_tpu.cli import featurize as featurize_cli
+    from sept_tpu.data.store import load_feature_store
+    from sept_tpu.runtime import write_wav
+
+    root = tmp_path / "crema"
+    root.mkdir()
+    rng = np.random.default_rng(5)
+    lengths = [9000, 16000, 4500, 12000, 7000]
+    names = ["1001_DFA_ANG_XX", "1001_IEO_HAP_HI", "1002_DFA_SAD_XX",
+             "1002_IEO_NEU_LO", "1003_DFA_ANG_MD"]
+    for name, n in zip(names, lengths):
+        write_wav(str(root / f"{name}.wav"),
+                  (0.2 * rng.standard_normal(n)).astype(np.float32), 16000)
+    with open(root / "VideoDemographics.csv", "w") as f:
+        f.write("ActorID,Age,Sex,Race,Ethnicity\n"
+                "1001,30,Male,A,B\n1002,25,Female,A,B\n1003,40,Male,A,B\n")
+
+    def run(work, chunk):
+        featurize_cli.main([
+            "--dataset", "crema-d", "--corpus_root", str(root),
+            "--work_dir", str(work), "--functionals", "0",
+            "--decode_chunk", str(chunk),
+        ])
+        return load_feature_store(
+            os.path.join(str(work), "feature", "mel_spec", "crema-d",
+                         "data_128.npz"))
+
+    a = run(tmp_path / "w_chunked", 2)
+    b = run(tmp_path / "w_single", 0)
+    assert set(a) == set(b) and len(a) == len(names)
+    for u in a:
+        for k in a[u]:
+            np.testing.assert_array_equal(a[u][k], b[u][k])
