@@ -17,7 +17,11 @@ Domain Adaptive Noise Injection For Speech Emotion Recognition"):
                  the utility-privacy suppression sweep.
 - ``parallel`` — device mesh setup, NamedSharding data parallelism, collectives.
 - ``runtime``  — native (C++) IO: WAV decode, resampling, feature store.
-- ``cli``      — entry points mirroring the reference scripts.
+- ``serve``    — deployment surface: bucketed batch predictors, JSON-over-HTTP
+                 server (pcm16 wire format, micro-batching, /metrics, streaming
+                 sessions), cloaked (privacy-preserving) serving.
+- ``cli``      — entry points mirroring the reference scripts, plus serve /
+                 predict deployment tools.
 
 The reference implementation (PyTorch/torchaudio/openSMILE) is documented in
 SURVEY.md; file:line citations in docstrings point into /root/reference.
