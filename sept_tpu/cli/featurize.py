@@ -37,7 +37,7 @@ def main(argv=None):
                         "chunk's threaded decode with this chunk's device "
                         "featurization")
     args = p.parse_args(argv)
-    setup_seed(args.seed)
+    setup_seed(args.seed, getattr(args, "prng_impl", None))
 
     from sept_tpu.data.featurize import featurize_corpus
     from sept_tpu.data.store import save_feature_store, save_manifest

@@ -21,7 +21,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     args = p.parse_args(argv)
-    setup_seed(args.seed)
+    setup_seed(args.seed, getattr(args, "prng_impl", None))
 
     if args.dataset in ("combine", "combine_two"):
         return _combine(args)

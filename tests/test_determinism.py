@@ -65,3 +65,43 @@ def test_different_seed_different_run():
                         jax.tree.leaves(r2.best_state.params))
     ]
     assert max(diffs) > 0
+
+
+def test_rbg_prng_impl_trains_and_is_reproducible():
+    """--prng_impl rbg (the throughput knob): dropout draws differ from
+    threefry but are reproducible under the same key."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(8, impl="rbg")
+    a = jax.random.normal(key, (64,))
+    b = jax.random.normal(jax.random.key(8, impl="rbg"), (64,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = jax.random.normal(jax.random.PRNGKey(8), (64,))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
+
+    # a train step runs under an rbg state key
+    from sept_tpu.models import Conv2dBiRNN
+    from sept_tpu.train import (
+        ExperimentConfig,
+        init_state,
+        make_baseline_step,
+        make_optimizer,
+    )
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-3, hidden_size=8)
+    model = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    rng = np.random.default_rng(0)
+    batch = {
+        "spec": jnp.asarray(rng.standard_normal((8, 40, 32, 1)),
+                            jnp.float32),
+        "labels_emo": jnp.asarray(np.arange(8) % 4, jnp.int32),
+        "labels_gen": jnp.asarray(np.arange(8) % 2, jnp.int32),
+        "global": jnp.zeros((8, 88), jnp.float32),
+        "weight": jnp.ones(8, jnp.float32),
+    }
+    state = init_state(model, tx, key, batch)
+    step = make_baseline_step(model, tx)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
