@@ -366,7 +366,8 @@ class PredictionServer:
     def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
                  port: int = 0, batch_window_ms: float = 0.0,
                  max_stream_s: float = 30.0, stream_ttl_s: float = 300.0,
-                 max_sessions: int = 256, sample_rate: int = 16000):
+                 max_sessions: int = 256, sample_rate: int = 16000,
+                 max_body_mb: float = 256.0):
         import http.server
         import json
         import queue
@@ -603,6 +604,13 @@ class PredictionServer:
 
             def _read_json(self):
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_mb * 1024 * 1024:
+                    # refuse before reading: an unbounded body would be
+                    # buffered wholesale into process memory
+                    raise ValueError(
+                        f"request body {n} bytes exceeds the "
+                        f"{max_body_mb:g} MiB limit"
+                    )
                 raw = self.rfile.read(n)
                 return json.loads(raw) if raw else {}
 

@@ -754,3 +754,33 @@ def test_multitask_predictor_and_server(rng):
         assert got["samples"] == len(waves[0])
     finally:
         server.shutdown()
+
+
+def test_oversized_request_body_is_refused(rng):
+    """Bodies over max_body_mb are refused before being buffered."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    server = PredictionServer(p, port=0, max_body_mb=0.001)  # ~1 KiB
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps(
+                {"waveforms": [rng.standard_normal(4000).tolist()]}).encode())
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "exceeds" in json.load(e)["error"]
+    finally:
+        server.shutdown()
