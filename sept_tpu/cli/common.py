@@ -217,6 +217,7 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
         mask_direction=getattr(args, "mask_direction", "train"),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         conv_backend=getattr(args, "conv_backend", "auto"),
+        prng_impl=getattr(args, "prng_impl", None),
         seed=args.seed,
         output_dir=args.output_dir,
     )

@@ -66,15 +66,27 @@ def main(argv=None):
         from sept_tpu.runtime import decode_batch, narrow_pcm16
 
         manifest = walk_corpus(args.dataset, args.corpus_root)
+
+        def size_or_zero(path):
+            # unstat-able files (dangling symlink, deleted since the walk)
+            # must sort somewhere, not crash the run — decode_batch reports
+            # them as length-0 rows and they are skipped like any other
+            # undecodable file
+            try:
+                return os.path.getsize(path)
+            except OSError:
+                return 0
+
         # size-sorted chunks: files of similar length decode together, so
         # each rectangular decode buffer is tight and the length buckets
         # inside featurize_corpus stay dense
         order = sorted(range(len(manifest)),
-                       key=lambda i: os.path.getsize(manifest[i].path))
-        step = args.decode_chunk if args.decode_chunk > 0 else len(order)
+                       key=lambda i: size_or_zero(manifest[i].path))
+        step = (args.decode_chunk if args.decode_chunk > 0
+                else max(1, len(order)))
         chunks = [order[lo : lo + step] for lo in range(0, len(order), step)]
 
-        store, kept = {}, set()
+        store = {}
         with ThreadPoolExecutor(max_workers=1) as ex:
             def submit(idxs):
                 return ex.submit(
@@ -95,9 +107,8 @@ def main(argv=None):
                     for r, i in enumerate(idxs)
                     if lens[r] > 0
                 }
-                kept.update(waves)
                 store.update(featurize(waves))
-        manifest = [u for u in manifest if u.utt_id in kept]
+        manifest = [u for u in manifest if u.utt_id in store]
 
     out_dir = os.path.join(args.work_dir, "feature", args.feature_type, args.dataset)
     os.makedirs(out_dir, exist_ok=True)

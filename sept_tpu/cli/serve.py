@@ -55,6 +55,8 @@ def main(argv=None):
                         "of audio (bounds per-push cost and jit shapes)")
     p.add_argument("--stream_ttl_s", type=float, default=300.0,
                    help="idle streaming sessions expire after this long")
+    p.add_argument("--max_body_mb", type=float, default=256.0,
+                   help="refuse request bodies larger than this (MiB)")
     args = p.parse_args(argv)
 
     from sept_tpu.cli.common import setup_seed
@@ -83,7 +85,8 @@ def main(argv=None):
     server = PredictionServer(predictor, host=args.host, port=args.port,
                               batch_window_ms=args.batch_window_ms,
                               max_stream_s=args.max_stream_s,
-                              stream_ttl_s=args.stream_ttl_s)
+                              stream_ttl_s=args.stream_ttl_s,
+                              max_body_mb=args.max_body_mb)
     print(f"serving {args.artifact} fold{args.fold}"
           + (f" + cloak {args.cloak}" if args.cloak else "")
           + f" on http://{server.host}:{server.port}", flush=True)

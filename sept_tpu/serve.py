@@ -604,9 +604,22 @@ class PredictionServer:
 
             def _read_json(self):
                 n = int(self.headers.get("Content-Length", 0))
-                if n > max_body_mb * 1024 * 1024:
-                    # refuse before reading: an unbounded body would be
-                    # buffered wholesale into process memory
+                if not 0 <= n <= max_body_mb * 1024 * 1024:
+                    # refuse before buffering (a negative length would make
+                    # rfile.read(-1) buffer until EOF).  Drain a bounded
+                    # amount in small chunks so a well-behaved oversized
+                    # sender can finish and read the 400 instead of hitting
+                    # a connection reset; memory stays at one chunk.
+                    try:
+                        remaining = min(max(n, 0), 64 << 20)
+                        while remaining > 0:
+                            chunk = self.rfile.read(min(65536, remaining))
+                            if not chunk:
+                                break
+                            remaining -= len(chunk)
+                    except Exception:
+                        pass
+                    self.close_connection = True
                     raise ValueError(
                         f"request body {n} bytes exceeds the "
                         f"{max_body_mb:g} MiB limit"
