@@ -57,6 +57,16 @@ def main(argv=None):
                    help="idle streaming sessions expire after this long")
     p.add_argument("--max_body_mb", type=float, default=256.0,
                    help="refuse request bodies larger than this (MiB)")
+    p.add_argument("--warmup", type=float, default=0.0,
+                   help="compile the serving program for this utterance "
+                        "duration (seconds of audio) across row buckets "
+                        "1..batch before accepting traffic — first-request "
+                        "compiles cost minutes on a tunneled chip; the "
+                        "persistent compile cache makes later restarts "
+                        "instant (0 = skip)")
+    p.add_argument("--warmup_rows", type=int, default=8,
+                   help="largest request batch to warm (power-of-two row "
+                        "buckets up to this)")
     args = p.parse_args(argv)
 
     from sept_tpu.cli.common import setup_seed
@@ -82,6 +92,18 @@ def main(argv=None):
         suppression_ratio=args.suppression_ratio,
         **overrides,
     )
+    if args.warmup > 0:
+        import numpy as np
+
+        n = int(args.warmup * 16000)
+        wave = np.zeros(n, np.int16)  # int16: the production staging dtype
+        rows = 1
+        while rows <= max(1, args.warmup_rows):
+            print(f"warmup: rows={rows} dur={args.warmup:g}s ...", flush=True)
+            predictor.predict([wave] * rows)
+            rows *= 2
+        print("warmup done", flush=True)
+
     server = PredictionServer(predictor, host=args.host, port=args.port,
                               batch_window_ms=args.batch_window_ms,
                               max_stream_s=args.max_stream_s,
