@@ -12,13 +12,28 @@ re-creation of the reference pipeline):
 
 Steady-state throughput (compile excluded via warmup on identical shapes;
 the torch reference is eager and has no compile either).  Each timed stage
-is the MIN over 3 repeats: the chip sits behind a shared tunnel whose
+is the MIN over repeats: the chip sits behind a shared tunnel whose
 host<->device bandwidth varies run to run, and min-of-N measures pipeline
 capability rather than transient tunnel contention.  Prints ONE JSON line.
 BASELINE LABELING: vs_baseline is measured against
 benchmarks/reference_cpu.json from the same machine — the reference
 pipeline in eager torch on a SINGLE CPU core (this box has one core; the
 reference repo publishes no numbers of its own, BASELINE.md).
+
+BUDGET DISCIPLINE (the driver runs this under a hard timeout): the bench is
+structured headline-first.  Only two stages are required to print a result —
+the parity-mode ingest and the production (bf16 + fused-conv) training
+epoch.  Every other variant (bf16 ingest, device functionals, f32 epoch,
+bf16-XLA epoch, the MFU cost-analysis lowering) is an EXTRA, run only while
+wall-clock headroom remains against ``SEPT_BENCH_BUDGET_S`` (default 420 s)
+and recorded in ``detail`` when it completes; skipped extras are listed in
+``detail.skipped``.  A subprocess probe with a timeout guards against the
+known tunnel-wedge failure mode (backend init hangs forever): if the chip is
+unreachable the bench falls back to the CPU backend at a reduced size and
+says so in ``detail.device_fallback`` rather than timing out with no output.
+The persistent compile cache lives in the repo (``.jax_cache/``, see
+cli/common.py::enable_compile_cache), so the driver's run reuses every
+compile this checkout has already paid for.
 
 STAGE ORDER MATTERS on this environment: loading/running the scanned-BiRNN
 model executables flips the tunnel into a ~40x-slower host->device transfer
@@ -30,8 +45,7 @@ train on device-resident arrays).
 
 Also reported in ``detail``:
 - mfu: model-FLOPs utilization of the training epoch against the v5e chip's
-  197 TFLOP/s bf16 peak (XLA cost-analysis FLOPs / elapsed / peak) — this
-  run computes in f32, so the ceiling is conservative;
+  197 TFLOP/s bf16 peak (XLA cost-analysis FLOPs / elapsed / peak);
 - featurize_bf16_s: the fused Pallas bf16-throughput frontend
   (ops/pallas_frontend.py);
 - gemaps_emobase_s: device functional featurization (88-dim eGeMAPS-style +
@@ -40,26 +54,88 @@ Also reported in ``detail``:
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 V5E_BF16_PEAK = 197e12  # FLOP/s, one v5e chip
+T0 = time.perf_counter()
+
+
+def _probe_device(timeout_s: float) -> bool:
+    """Backend init in a subprocess with a hard timeout.
+
+    The tunneled chip's known failure mode is a wedge where backend init
+    hangs indefinitely; there is no in-process recourse (the hang is inside
+    C++ client bring-up, before any Python signal check).  Probing in a
+    child process costs one extra init (~10 s warm) and buys a guaranteed
+    answer."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); import jax.numpy as jnp; "
+             "jnp.arange(4.).sum().block_until_ready()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
+def _progress(msg: str) -> None:
+    """Stage markers on stderr (stdout carries only the one JSON line)."""
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main():
+    budget = float(os.environ.get("SEPT_BENCH_BUDGET_S", "420"))
+    deadline = T0 + budget
+
+    def remaining() -> float:
+        return deadline - time.perf_counter()
+
+    skipped: list = []
+    detail: dict = {}
+
+    forced_cpu = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu"
+    fallback = False
+    if not forced_cpu:
+        if not _probe_device(min(150.0, budget * 0.4)):
+            fallback = True
+
+    _progress(f"probe done: fallback={fallback} forced_cpu={forced_cpu}")
     import jax
 
-    # persistent compile cache: repeat bench runs skip the (slow, tunneled)
-    # XLA compilation of the ingest + scanned-epoch programs
+    if forced_cpu or fallback:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    # persistent compile cache: repeat bench runs (including the driver's)
+    # skip the minutes-slow tunneled XLA compilation of every program here
     from sept_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
     import jax.numpy as jnp
 
-    SR, N_UTTS, DUR_S = 16000, 1024, 2.5
+    on_cpu = jax.default_backend() == "cpu"
+    SR, DUR_S = 16000, 2.5
+    N_UTTS = int(os.environ.get("SEPT_BENCH_N_UTTS", "64" if on_cpu else "1024"))
     WIN, SHIFT, D = 200, 50, 128
     BATCH = 32
+
+    if fallback:
+        detail["device_fallback"] = (
+            "TPU backend init did not answer within the probe timeout "
+            "(known tunnel-wedge mode); measured on the CPU backend at "
+            f"n_utts={N_UTTS} instead — NOT a chip number"
+        )
 
     rng = np.random.default_rng(8)
     t = np.arange(int(DUR_S * SR)) / SR
@@ -75,10 +151,12 @@ def main():
         for i in range(N_UTTS)
     }
 
-    # Timings take the MIN over repeats: the chip is reached over a shared
-    # tunnel whose transfer bandwidth varies run to run; min-of-N measures
-    # the pipeline's capability rather than transient tunnel contention.
     REPEATS = 3
+    # wall-clock reserved for the (required) headline epoch stage: a warm
+    # compile load + 3 runs comfortably fits; a cold compile does not, but
+    # a cold cache means the budget is lost either way and the epoch is the
+    # headline — it must be attempted
+    RESERVE_EPOCH = 120.0
 
     # ---- timed: on-device ingest (featurize + znorm + window, zero D2H) ----
     # FIRST, before any model executable exists (see module docstring).
@@ -88,35 +166,71 @@ def main():
     spk = (np.arange(N_UTTS) % 16).astype(np.int32)
     labels = (np.arange(N_UTTS) % 4).astype(np.int32)
 
-    def timed_ingest(frontend):
+    def timed_ingest(frontend, reserve):
+        """Warmup (compile) + up-to-REPEATS timed runs, stopping early if
+        the budget reserve would be breached.  Returns (dataset, best_s,
+        warmup_s)."""
         ds, best = None, float("inf")
-        for _ in range(REPEATS + 1):  # first iteration = warmup-compile
+        t0 = time.perf_counter()
+        out = device_ingest(wave_list, spk, labels, labels % 2,
+                            win_len=WIN, shift_len=SHIFT, frontend=frontend)
+        jax.block_until_ready(out.windows)
+        warm = time.perf_counter() - t0
+        ds = out
+        for _ in range(REPEATS):
+            if best < float("inf") and remaining() < reserve:
+                break
             t0 = time.perf_counter()
             out = device_ingest(wave_list, spk, labels, labels % 2,
                                 win_len=WIN, shift_len=SHIFT,
                                 frontend=frontend)
             jax.block_until_ready(out.windows)
-            dt = time.perf_counter() - t0
-            if ds is None:
-                ds = out  # warmup result; its time is discarded
-            else:
-                best = min(best, dt)
-        return ds, best
+            best = min(best, time.perf_counter() - t0)
+        return ds, best, warm
 
-    ds, t_feat = timed_ingest("xla")  # parity mode: the headline pipeline
-    _, t_feat_bf16 = timed_ingest("pallas_bf16")
+    _progress(f"start ingest (n_utts={N_UTTS}, backend={jax.default_backend()})")
+    ds, t_feat, warm_feat = timed_ingest("xla", RESERVE_EPOCH)
+    _progress(f"ingest done: warm={warm_feat:.1f}s best={t_feat:.2f}s")
+    # a slow warmup means the compile cache was cold (or the tunnel is
+    # degraded): skip every compile-bearing extra and go straight for the
+    # headline epoch
+    cold = warm_feat > 45.0
 
-    # ---- timed: functional featurization (gemaps + emobase), warm ----
+    # ---- extra: the fused Pallas bf16 frontend (transfer-bound => must
+    # run before any model program, so it is gated hard) ----
+    t_feat_bf16 = None
+    if not cold and not on_cpu and remaining() > RESERVE_EPOCH + 90:
+        try:
+            _progress("start bf16 ingest")
+            _, t_feat_bf16, _ = timed_ingest("pallas_bf16",
+                                             RESERVE_EPOCH + 60)
+        except Exception:
+            skipped.append("featurize_bf16:error")
+    else:
+        skipped.append("featurize_bf16:budget")
+
+    # ---- extra: functional featurization (gemaps + emobase), warm ----
     # the production path: one device program computes both sets per chunk
-    from sept_tpu.ops.emobase import combined_functionals_batch
+    t_func = None
+    if not cold and remaining() > RESERVE_EPOCH + 90:
+        try:
+            _progress("start functionals")
+            from sept_tpu.ops.emobase import combined_functionals_batch
 
-    sub = {k: waves[k] for k in list(waves)[:128]}
-    combined_functionals_batch(sub)  # warm the (one) bucket shape
-    t_func = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        combined_functionals_batch(waves)
-        t_func = min(t_func, time.perf_counter() - t0)
+            sub = {k: waves[k] for k in list(waves)[:min(128, N_UTTS)]}
+            combined_functionals_batch(sub)  # warm the (one) bucket shape
+            t_func = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                combined_functionals_batch(waves)
+                t_func = min(t_func, time.perf_counter() - t0)
+                if remaining() < RESERVE_EPOCH + 30:
+                    break
+        except Exception:
+            t_func = None
+            skipped.append("gemaps_emobase:error")
+    else:
+        skipped.append("gemaps_emobase:budget")
 
     # ---- model setup (slow-transfer mode starts here; all remaining
     # stages run on device-resident data) ----
@@ -130,7 +244,6 @@ def main():
 
     cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-4,
                            hidden_size=64, batch_size=BATCH)
-    model = Conv2dBiRNN(hidden_size=64, pred="emotion")
     tx = make_optimizer(cfg, steps_per_epoch=64)
     dummy = {
         "spec": jnp.zeros((BATCH, WIN, D, 1), jnp.float32),
@@ -139,86 +252,101 @@ def main():
         "global": jnp.zeros((BATCH, 88), jnp.float32),
         "weight": jnp.ones((BATCH,), jnp.float32),
     }
-    state = init_state(model, tx, jax.random.PRNGKey(8), dummy)
 
-    # ---- timed: one training epoch as a single scanned device program ----
     m_total = len(ds)
     n_batches = m_total // BATCH
     order = jnp.asarray(np.random.default_rng(0).permutation(m_total))
-    run_epoch = make_epoch_runner(model, tx)
-    out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight, order,
-                    n_batches=n_batches, batch_size=BATCH)  # warmup
-    jax.block_until_ready(out[0].params)
-    t_train = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        state, losses, correct, counts = run_epoch(
-            state, ds.windows, ds.labels_emo, ds.weight, order,
-            n_batches=n_batches, batch_size=BATCH,
-        )
-        jax.block_until_ready(state.params)
-        t_train = min(t_train, time.perf_counter() - t0)
 
-    # MFU: XLA-counted FLOPs of ONE train step x n_batches / elapsed / peak.
-    # (cost_analysis on the scanned epoch counts the scan body once, not
-    # x n_batches, so the per-step program is the honest FLOP source.)
-    flops = None
-    try:
-        from sept_tpu.train import make_baseline_step
-
-        step = make_baseline_step(model, tx)
-        cost = step.lower(state, dummy).compile().cost_analysis()
-        if cost and cost.get("flops"):
-            flops = float(cost["flops"]) * n_batches
-    except Exception:
-        pass
-
-    # ---- timed: the same epoch with bf16 conv/RNN compute (params f32) ----
-    # TPU throughput mode (models/backbone.py dtype knob): MXU runs bf16
-    # 2x f32 rate; reported as detail, the headline stays the parity mode.
-    model_bf16 = Conv2dBiRNN(hidden_size=64, pred="emotion", dtype=jnp.bfloat16)
-    state_bf16 = init_state(model_bf16, tx, jax.random.PRNGKey(8), dummy)
-    run_epoch_bf16 = make_epoch_runner(model_bf16, tx)
-    out = run_epoch_bf16(state_bf16, ds.windows, ds.labels_emo, ds.weight, order,
-                         n_batches=n_batches, batch_size=BATCH)  # warmup
-    jax.block_until_ready(out[0].params)
-    t_train_bf16 = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = run_epoch_bf16(state_bf16, ds.windows, ds.labels_emo,
-                             ds.weight, order,
-                             n_batches=n_batches, batch_size=BATCH)
+    def timed_epoch(model, reserve):
+        """init + warmup (compile) + up-to-REPEATS timed epochs."""
+        state = init_state(model, tx, jax.random.PRNGKey(8), dummy)
+        run_epoch = make_epoch_runner(model, tx)
+        out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight, order,
+                        n_batches=n_batches, batch_size=BATCH)  # warmup
         jax.block_until_ready(out[0].params)
-        t_train_bf16 = min(t_train_bf16, time.perf_counter() - t0)
+        best = float("inf")
+        for _ in range(REPEATS):
+            if best < float("inf") and remaining() < reserve:
+                break
+            t0 = time.perf_counter()
+            out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight,
+                            order, n_batches=n_batches, batch_size=BATCH)
+            jax.block_until_ready(out[0].params)
+            best = min(best, time.perf_counter() - t0)
+        return state, best
 
-    # ---- timed: the bf16 epoch with the fused first-conv-block kernels ----
-    # (ops/pallas_conv.py; what --conv_backend auto resolves to in this
-    # configuration — the layout-copy traffic around XLA's pool lowering is
-    # the top line of the step profile, docs/ARCHITECTURE.md §2c)
-    model_fused = Conv2dBiRNN(hidden_size=64, pred="emotion",
-                              dtype=jnp.bfloat16, conv_backend="fused1")
-    state_fused = init_state(model_fused, tx, jax.random.PRNGKey(8), dummy)
-    run_epoch_fused = make_epoch_runner(model_fused, tx)
-    out = run_epoch_fused(state_fused, ds.windows, ds.labels_emo, ds.weight,
-                          order, n_batches=n_batches, batch_size=BATCH)
-    jax.block_until_ready(out[0].params)
-    t_train_fused = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = run_epoch_fused(state_fused, ds.windows, ds.labels_emo,
-                              ds.weight, order,
-                              n_batches=n_batches, batch_size=BATCH)
-        jax.block_until_ready(out[0].params)
-        t_train_fused = min(t_train_fused, time.perf_counter() - t0)
+    # ---- timed (HEADLINE): the production training epoch ----
+    # bf16 conv/RNN compute (f32 params/accumulation) + the fused
+    # first-conv-block Pallas kernel pair (ops/pallas_conv.py) — what
+    # --compute_dtype bfloat16 --conv_backend auto resolves to on TPU.
+    # bf16 SER quality is validated on the hard benchmark corpus at mean
+    # 5-fold UAR 0.884 vs 0.897 f32, within fold-to-fold spread (README).
+    # On the CPU fallback the Pallas pair runs in interpret mode (slow, not
+    # representative), so the fallback headline uses the XLA f32 model.
+    if on_cpu:
+        headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion")
+        headline_mode = "f32 XLA epoch (CPU fallback)"
+    else:
+        headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion",
+                                     dtype=jnp.bfloat16,
+                                     conv_backend="fused1")
+        headline_mode = ("parity-mode f32 featurize + bf16-compute train "
+                         "epoch with fused first-conv-block Pallas kernels "
+                         "(--compute_dtype bfloat16 --conv_backend auto)")
+    _progress("start headline epoch")
+    state_head, t_train_head = timed_epoch(headline_model, 20.0)
+    _progress(f"headline epoch done: {t_train_head:.2f}s")
 
-    # headline = parity-mode featurize + bf16-compute training epoch with
-    # the fused conv kernels: the production configuration
-    # (--compute_dtype bfloat16 --conv_backend auto, f32 params and
-    # accumulation; bf16 SER quality validated on the hard benchmark corpus
-    # at mean 5-fold UAR 0.884 vs 0.897 f32 — within fold-to-fold spread).
-    # The full f32 and XLA-backend numbers stay in detail.
-    total = t_feat + t_train_fused
+    # ---- the headline is now measurable; everything below is extra ----
+    total = t_feat + t_train_head
     utts_per_sec = N_UTTS / total
+
+    # extra: f32 epoch (the full-parity mode)
+    t_train = None
+    if not on_cpu and not cold and remaining() > 90:
+        try:
+            _progress("start f32 epoch")
+            _, t_train = timed_epoch(Conv2dBiRNN(hidden_size=64,
+                                                 pred="emotion"), 45.0)
+        except Exception:
+            skipped.append("train_epoch_f32:error")
+    elif not on_cpu:
+        skipped.append("train_epoch_f32:budget")
+
+    # extra: bf16 epoch with the plain XLA conv lowering
+    t_train_bf16 = None
+    if not on_cpu and not cold and remaining() > 90:
+        try:
+            _progress("start bf16-xla epoch")
+            _, t_train_bf16 = timed_epoch(
+                Conv2dBiRNN(hidden_size=64, pred="emotion",
+                            dtype=jnp.bfloat16), 45.0)
+        except Exception:
+            skipped.append("train_epoch_bf16_xla:error")
+    elif not on_cpu:
+        skipped.append("train_epoch_bf16_xla:budget")
+
+    # extra: MFU — XLA-counted FLOPs of ONE train step x n_batches /
+    # elapsed / peak.  (cost_analysis on the scanned epoch counts the scan
+    # body once, not x n_batches, so the per-step program is the honest
+    # FLOP source.)  This is a fresh lowering+compile: budget-gated.
+    flops = None
+    if not cold and remaining() > 60:
+        try:
+            _progress("start mfu lowering")
+            from sept_tpu.train import make_baseline_step
+
+            model_f32 = Conv2dBiRNN(hidden_size=64, pred="emotion")
+            state_f32 = init_state(model_f32, tx, jax.random.PRNGKey(8),
+                                   dummy)
+            step = make_baseline_step(model_f32, tx)
+            cost = step.lower(state_f32, dummy).compile().cost_analysis()
+            if cost and cost.get("flops"):
+                flops = float(cost["flops"]) * n_batches
+        except Exception:
+            skipped.append("mfu_lowering:error")
+    else:
+        skipped.append("mfu_lowering:budget")
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "reference_cpu.json")
@@ -228,44 +356,43 @@ def main():
             ref = json.load(f)
         vs_baseline = round(utts_per_sec / ref["utts_per_sec"], 2)
 
+    detail.update({
+        "baseline": "reference pipeline, eager torch-CPU, 1 thread/1 core"
+                    " (benchmarks/reference_cpu.json)",
+        "mode": headline_mode,
+        "n_utts": N_UTTS,
+        "n_windows": int(m_total),
+        "n_train_batches": int(n_batches),
+        "featurize_s": round(t_feat, 3),
+        "featurize_warmup_s": round(warm_feat, 3),
+        "featurize_bf16_s": (round(t_feat_bf16, 3)
+                             if t_feat_bf16 is not None else None),
+        "train_epoch_headline_s": round(t_train_head, 3),
+        "train_epoch_f32_s": (round(t_train, 3)
+                              if t_train is not None else None),
+        "train_epoch_bf16_xla_s": (round(t_train_bf16, 3)
+                                   if t_train_bf16 is not None else None),
+        "utts_per_sec_f32": (round(N_UTTS / (t_feat + t_train), 2)
+                             if t_train is not None else None),
+        "mfu_vs_bf16_peak": (round(flops / t_train_head / V5E_BF16_PEAK, 4)
+                             if flops is not None else None),
+        "mfu_f32_epoch": (round(flops / t_train / V5E_BF16_PEAK, 4)
+                          if flops is not None and t_train is not None
+                          else None),
+        "gemaps_emobase_s": round(t_func, 3) if t_func is not None else None,
+        "device": str(jax.devices()[0]),
+        "budget_s": budget,
+        "elapsed_s": round(time.perf_counter() - T0, 1),
+        "skipped": skipped,
+    })
+
     print(json.dumps({
         "metric": "featurize+train utterances/sec/chip (2.5s utts, mel128 + "
                   "Conv2dBiRNN epoch, bf16 compute + fused conv kernels)",
         "value": round(utts_per_sec, 2),
         "unit": "utt/s/chip",
         "vs_baseline": vs_baseline,
-        "detail": {
-            "baseline": "reference pipeline, eager torch-CPU, 1 thread/1 core"
-                        " (benchmarks/reference_cpu.json)",
-            "mode": "parity-mode f32 featurize + bf16-compute train epoch "
-                    "with fused first-conv-block Pallas kernels "
-                    "(--compute_dtype bfloat16 --conv_backend auto; SER "
-                    "quality validated, see README); f32 epoch in "
-                    "train_epoch_s, XLA-backend bf16 in train_epoch_bf16_s",
-            "utts_per_sec_f32": round(N_UTTS / (t_feat + t_train), 2),
-            "n_utts": N_UTTS,
-            "n_windows": int(m_total),
-            "n_train_batches": int(n_batches),
-            "featurize_s": round(t_feat, 3),
-            "featurize_bf16_s": round(t_feat_bf16, 3),
-            "train_epoch_s": round(t_train, 3),
-            "train_epoch_bf16_s": round(t_train_bf16, 3),
-            "train_epoch_fused_s": round(t_train_fused, 3),
-            "mfu_vs_bf16_peak": (
-                round(flops / t_train_fused / V5E_BF16_PEAK, 4)
-                if flops is not None else None
-            ),
-            "mfu_bf16_xla_epoch": (
-                round(flops / t_train_bf16 / V5E_BF16_PEAK, 4)
-                if flops is not None else None
-            ),
-            "mfu_f32_epoch": (
-                round(flops / t_train / V5E_BF16_PEAK, 4)
-                if flops is not None else None
-            ),
-            "gemaps_emobase_s": round(t_func, 3),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
 
 

@@ -16,12 +16,47 @@ __all__ = ["add_common_args", "config_from_args", "enable_compile_cache",
 def enable_compile_cache(path: str | None = None) -> None:
     """Persistent XLA compile cache — compiles over a tunneled chip cost
     minutes; repeat runs of the same shapes become instant.  The cache dir is
-    scoped per backend (CPU AOT artifacts are machine-feature-specific)."""
+    scoped per backend (CPU AOT artifacts are machine-feature-specific).
+
+    Default location is REPO-LOCAL (``<repo>/.jax_cache/<backend>``,
+    gitignored) so the cache survives environment resets that wipe /tmp and
+    is found by any process run from the checkout — in particular the
+    driver's end-of-round ``bench.py`` run reuses the compiles this session
+    already paid for.  Override with ``SEPT_JAX_CACHE_DIR`` or ``path``;
+    falls back to /tmp when the repo dir is not writable."""
+    import os
+
     import jax
 
     try:
         if path is None:
-            path = f"/tmp/sept_tpu_jax_cache_{jax.default_backend()}"
+            path = os.environ.get("SEPT_JAX_CACHE_DIR")
+        if path is None:
+            backend = jax.default_backend()
+            tag = backend
+            if backend == "cpu":
+                # CPU AOT artifacts are machine-feature-specific: loading a
+                # cache written on a host with different vector extensions
+                # makes XLA warn about SIGILL risk (observed: a cache from a
+                # +prefer-no-scatter host wedged execution here).  Scope the
+                # dir by a fingerprint of this host's CPU flags.
+                import hashlib
+
+                try:
+                    with open("/proc/cpuinfo") as f:
+                        flags = next((ln for ln in f if ln.startswith("flags")),
+                                     "")
+                    tag = "cpu_" + hashlib.sha1(flags.encode()).hexdigest()[:10]
+                except OSError:
+                    pass
+            root = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            cand = os.path.join(root, ".jax_cache", tag)
+            try:
+                os.makedirs(cand, exist_ok=True)
+                path = cand
+            except OSError:
+                path = f"/tmp/sept_tpu_jax_cache_{backend}"
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

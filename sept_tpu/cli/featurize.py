@@ -29,6 +29,15 @@ def main(argv=None):
                         "functionals (reference extracts both alongside the "
                         "spectral features, audio_feature_extraction.py:188-189); "
                         "0 skips them for runs that train with global_feature=0")
+    p.add_argument("--import_opensmile", action="append", default=None,
+                   metavar="PATH",
+                   help="CSV (openSMILE pandas output) or reference feature "
+                        "pickle whose REAL eGeMAPSv02/emobase functionals "
+                        "replace this framework's TPU-computed stand-ins in "
+                        "the store, verbatim — use when migrating artifacts "
+                        "whose --global_feature path must be numerically "
+                        "identical to the reference's openSMILE values "
+                        "(repeatable; see data/opensmile_import.py)")
     p.add_argument("--decode_chunk", type=int, default=512,
                    help="decode this many files at a time (0 = all at once): "
                         "bounds host memory — decode_batch returns a "
@@ -109,6 +118,24 @@ def main(argv=None):
                 }
                 store.update(featurize(waves))
         manifest = [u for u in manifest if u.utt_id in store]
+
+    if args.import_opensmile:
+        from sept_tpu.data.opensmile_import import (
+            apply_opensmile,
+            load_opensmile_file,
+        )
+
+        for path in args.import_opensmile:
+            replaced, unmatched = apply_opensmile(
+                store, load_opensmile_file(path))
+            if unmatched:
+                p.error(
+                    f"--import_opensmile {path}: "
+                    f"{len(unmatched)} utterance ids not in this corpus "
+                    f"(first: {unmatched[:3]}) — wrong corpus or id scheme?"
+                )
+            print(f"imported {replaced} openSMILE functional vectors "
+                  f"from {path}")
 
     out_dir = os.path.join(args.work_dir, "feature", args.feature_type, args.dataset)
     os.makedirs(out_dir, exist_ok=True)
