@@ -9,6 +9,7 @@ feature definitions live at
 """
 
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -172,6 +173,41 @@ def test_mfcc_with_deltas_matches_oracle(wave):
     theirs = oracle_mfcc_with_deltas(wave)
     assert ours.shape == theirs.shape == (120, 1 + len(wave) // 200)
     np.testing.assert_allclose(ours, theirs, atol=5e-3)
+
+
+# ----------------------------------------------------------------------------
+# Vendored golden vectors (tests/golden/frontend_golden.npz)
+# ----------------------------------------------------------------------------
+# Frozen on disk rather than recomputed, so a regression in EITHER this
+# file's oracle transcription or torch's stft cannot silently move the
+# goalposts.  The npz records its provenance: regenerated on a machine with
+# real torchaudio it holds actual torchaudio outputs; in this environment
+# (no torchaudio installed) it holds the torch.stft+transcription oracle's
+# outputs (see tests/golden/gen_frontend_golden.py).
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                       "frontend_golden.npz")
+
+
+@pytest.mark.parametrize("signal", ["tonal", "noisy", "quiet"])
+def test_vendored_golden_vectors(signal):
+    with np.load(_GOLDEN) as z:
+        wave = jnp.asarray(z[f"{signal}|wave"])
+        want_mfcc = z[f"{signal}|mfcc120"]
+        want_mel1 = z[f"{signal}|mel1"]
+        want_mel2 = z[f"{signal}|mel2"]
+        assert str(z["source"]) in ("torchaudio",
+                                    "torch.stft+transcription")
+    np.testing.assert_allclose(np.asarray(F.mfcc_with_deltas(wave)),
+                               want_mfcc, atol=5e-3)
+    # 0.05 dB: the tone-dominated signal's deepest mel valleys sit near the
+    # f32 rounding floor where log10 jitters by ~0.02 dB between precisions
+    np.testing.assert_allclose(
+        np.asarray(F.mel_spectrogram(wave, n_fft=800, hop_length=160)),
+        want_mel1, atol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(F.mel_spectrogram(wave, n_fft=1600, hop_length=160)),
+        want_mel2, atol=5e-2)
 
 
 def test_amplitude_to_db_top_db_floor():
