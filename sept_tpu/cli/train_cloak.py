@@ -117,11 +117,15 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
     spec = jnp.asarray(sample["spec"])
     import functools
 
+    # init must see the global feature when configured: the (fresh) gender
+    # adversary's dense1 takes 2*hidden + 88 inputs with it (the reference
+    # concats globals into BOTH branches, cloak_models.py:187-224)
+    g0 = jnp.asarray(sample["global"]) if cfg.global_feature else None
     variables = jax.jit(functools.partial(model.init, train=True))(
         {"params": jax.random.PRNGKey(cfg.seed),
          "noise": jax.random.PRNGKey(cfg.seed + 1),
          "dropout": jax.random.PRNGKey(cfg.seed + 2)},
-        spec,
+        spec, global_feature=g0,
     )
     params = dict(variables["params"])
     # graft the pretrained frozen backbone weights in
@@ -179,9 +183,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         return out[0]
 
     spk_w = speaker_weights(fold.training) if "combine" in cfg.dataset else None
-    if not cfg.global_feature and (
-        jax.default_backend() != "cpu" or mesh is not None
-    ):
+    if jax.default_backend() != "cpu" or mesh is not None:
         from sept_tpu.train.device_loop import fit_device_cloak
 
         result = fit_device_cloak(

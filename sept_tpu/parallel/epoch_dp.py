@@ -165,6 +165,7 @@ def make_cloak_epoch_runner_dp(
     pooling: Optional[str] = "mean",
     antithetic: bool = False,
     saliency_align: float = 0.0,
+    use_global: bool = False,
     axis: str = "data",
 ):
     """DP form of make_cloak_epoch_runner (cloak / cloak+GRL workloads).
@@ -172,13 +173,16 @@ def make_cloak_epoch_runner_dp(
     Same call signature as the single-device runner; ``mask=None`` is
     expressed as an all-ones mask (numerically identical in CloakNoise:
     ``x*1 + locs + scales*eps*1`` == the unmasked branch) so the shard_map
-    signature stays fixed.
+    signature stays fixed, and without ``use_global`` a scalar dummy rides
+    the (fixed-arity) globals slot.
     """
     n_dev = mesh.devices.size
 
-    def local_epoch(state, windows, labels_emo, labels_gen, weights, order, mask):
+    def local_epoch(state, windows, labels_emo, labels_gen, weights, order,
+                    mask, globals_):
         def body(st, idx):
             spec = windows[idx][..., None]
+            g = globals_[idx] if use_global else None
             le, lg, w = labels_emo[idx], labels_gen[idx], weights[idx]
             rng, n_rng, d_rng = jax.random.split(st.rng, 3)
             denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1e-8)
@@ -189,7 +193,7 @@ def make_cloak_epoch_runner_dp(
                         return model.apply(
                             {"params": params, "batch_stats": st.batch_stats},
                             spec, mask=mask, train=True, pooling=pooling,
-                            noise_sign=sign,
+                            noise_sign=sign, global_feature=g,
                             rngs={"noise": n_rng, "dropout": d_rng},
                             mutable=["batch_stats"],
                         )
@@ -214,7 +218,7 @@ def make_cloak_epoch_runner_dp(
                         out, _ = model.apply(
                             {"params": params, "batch_stats": st.batch_stats},
                             spec, mask=mask, train=True, pooling=pooling,
-                            noise_sign=sign,
+                            noise_sign=sign, global_feature=g,
                             rngs={"noise": n_rng},
                         )
                         return out
@@ -236,7 +240,8 @@ def make_cloak_epoch_runner_dp(
                     # per-shard saliency over the local sub-batch; the psum
                     # averages the shards' alignment gradients (1/n_dev each)
                     loss = loss + saliency_align * saliency_alignment_loss(
-                        model, params, st.batch_stats, spec, le, lg, w, pooling
+                        model, params, st.batch_stats, spec, le, lg, w,
+                        pooling, g,
                     ) / n_dev
                 return loss, (logits, bs)
 
@@ -264,25 +269,28 @@ def make_cloak_epoch_runner_dp(
     mapped = jax.jit(jax.shard_map(
         local_epoch,
         mesh=mesh,
-        in_specs=(state_spec, rep, rep, rep, rep, order_sp, rep),
+        in_specs=(state_spec, rep, rep, rep, rep, order_sp, rep, rep),
         out_specs=(state_spec, P(), P(), P()),
         check_vma=False,
     ))
 
     def run(state, windows, labels_emo, labels_gen, weights, order, mask,
-            *, n_batches, batch_size):
+            *, n_batches, batch_size, globals_=None):
         if batch_size % n_dev:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by {n_dev} devices"
             )
         if mask is None:
             mask = jnp.ones(windows.shape[1:3], jnp.float32)
+        if globals_ is None:
+            globals_ = jnp.zeros((1, 1), jnp.float32)  # unused dummy slot
         order2 = jax.device_put(
             jnp.reshape(order[: n_batches * batch_size], (n_batches, batch_size)),
             NamedSharding(mesh, P(None, axis)),
         )
         return mapped(
-            state, windows, labels_emo, labels_gen, weights, order2, mask
+            state, windows, labels_emo, labels_gen, weights, order2, mask,
+            globals_,
         )
 
     return run

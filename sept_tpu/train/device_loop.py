@@ -11,7 +11,8 @@ next.  The sliding-window test vote stays the batched/vmapped evaluator.
 
 The baseline loop covers every pred (emotion / gender / multitask) and the
 88-dim global feature (``DeviceSplit.globals`` rides the scanned epoch);
-the cloak loop falls back to loop.fit for global-feature configs.
+the cloak loop covers the same surface (globals ride the scanned
+epoch into the frozen backbone's post-pool concat).
 Numerical behavior matches the per-step path up to batch shuffling
 granularity (the scanned epoch reshuffles identically via the same numpy
 permutation stream).
@@ -370,6 +371,7 @@ def fit_device_cloak(
         pooling=pooling_for(cfg.model_type),
         antithetic=cfg.antithetic_noise,
         saliency_align=cfg.saliency_align,
+        use_global=cfg.global_feature,
     )
     if mesh is not None:
         from sept_tpu.parallel.epoch_dp import (
@@ -385,7 +387,8 @@ def fit_device_cloak(
         run_epoch = make_cloak_epoch_runner(model, tx, **runner_opts)
 
     val_pass = make_val_pass(
-        lambda p, bs, x, g: eval_logits_fn(p, bs, x[..., None], None)
+        lambda p, bs, x, g: eval_logits_fn(p, bs, x[..., None], g),
+        use_global=cfg.global_feature,
     )
 
     rng = np.random.default_rng(cfg.seed)
@@ -423,18 +426,21 @@ def fit_device_cloak(
 
     for epoch in range(start_epoch, cfg.num_epochs):
         order = jnp.asarray(rng.permutation(m_total))
+        gkw = {"globals_": train_ds.globals} if cfg.global_feature else {}
         state, losses, correct, counts = run_epoch(
             state, train_ds.windows, train_ds.labels_emo, train_ds.labels_gen,
             train_ds.weights, order, mask_j,
             n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,
+            **gkw,
         )
         train_loss = float(jnp.mean(losses))
         train_acc = float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8))
 
+        vkw = {"globals_": val_ds.globals} if cfg.global_feature else {}
         val_loss, val_preds = val_pass(
             state.params, state.batch_stats, val_ds.windows,
             val_ds.labels_emo, val_ds.weights, n_batches=val_ds.n_batches,
-            batch_size=val_ds.batch_size,
+            batch_size=val_ds.batch_size, **vkw,
         )
         val_loss = float(val_loss)
         valid = np.asarray(val_ds.weights) > 0

@@ -248,23 +248,28 @@ def make_cloak_epoch_runner(
     pooling: Optional[str] = "mean",
     antithetic: bool = False,
     saliency_align: float = 0.0,
+    use_global: bool = False,
 ):
     """Whole-epoch cloak / cloak+GRL trainer as one scanned device program.
 
     Like make_epoch_runner but for the cloak workloads: the scan body is the
     cloak (or GRL minimax) loss with per-batch noise/dropout keys split from
     the carried rng.  ``run(state, windows (M,T,D), labels_emo, labels_gen,
-    weights, order, mask, n_batches, batch_size)``; pass ``mask=None`` for
-    unsuppressed training.  ``antithetic``: +eps/-eps loss pair per step
-    (see make_cloak_step).
+    weights, order, mask, n_batches, batch_size[, globals_])``; pass
+    ``mask=None`` for unsuppressed training.  ``antithetic``: +eps/-eps loss
+    pair per step (see make_cloak_step).  With ``use_global`` pass
+    ``globals_`` (M, 88): the frozen backbone concatenates the per-window
+    vector after pooling exactly as the per-step path does
+    (baseline_models.py:208,244-245 via cloak_models.py:110-118).
     """
 
     @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
     def run(state, windows, labels_emo, labels_gen, weights, order, mask,
-            *, n_batches, batch_size):
+            *, n_batches, batch_size, globals_=None):
         def body(st, i):
             idx = jax.lax.dynamic_slice_in_dim(order, i * batch_size, batch_size)
             spec = windows[idx][..., None]
+            g = globals_[idx] if use_global else None
             le, lg, w = labels_emo[idx], labels_gen[idx], weights[idx]
             rng, n_rng, d_rng = jax.random.split(st.rng, 3)
 
@@ -274,7 +279,7 @@ def make_cloak_epoch_runner(
                         return model.apply(
                             {"params": params, "batch_stats": st.batch_stats},
                             spec, mask=mask, train=True, pooling=pooling,
-                            noise_sign=sign,
+                            noise_sign=sign, global_feature=g,
                             rngs={"noise": n_rng, "dropout": d_rng},
                             mutable=["batch_stats"],
                         )
@@ -296,7 +301,7 @@ def make_cloak_epoch_runner(
                         out, _ = model.apply(
                             {"params": params, "batch_stats": st.batch_stats},
                             spec, mask=mask, train=True, pooling=pooling,
-                            noise_sign=sign,
+                            noise_sign=sign, global_feature=g,
                             rngs={"noise": n_rng},
                         )
                         return out
@@ -312,7 +317,8 @@ def make_cloak_epoch_runner(
                     )
                 if grl and saliency_align:
                     loss = loss + saliency_align * saliency_alignment_loss(
-                        model, params, st.batch_stats, spec, le, lg, w, pooling
+                        model, params, st.batch_stats, spec, le, lg, w,
+                        pooling, g,
                     )
                 return loss, (logits, bs)
 
@@ -354,7 +360,7 @@ def make_eval_logits_fn(model, use_global: bool = False, **apply_kwargs):
 
 def saliency_alignment_loss(
     model, params, batch_stats, spec, labels_emo, labels_gen, weights,
-    pooling: Optional[str] = "mean",
+    pooling: Optional[str] = "mean", global_feature=None,
 ) -> jax.Array:
     """First-order scale-shaping term for the cloak+GRL game.
 
@@ -379,11 +385,14 @@ def saliency_alignment_loss(
     eps = 1e-8
     x = jax.lax.stop_gradient(spec)
 
+    gf = (None if global_feature is None
+          else jax.lax.stop_gradient(global_feature))
+
     def branch_saliency(backbone, sub_params, sub_stats, labels):
         def ce(xin):
             logits = backbone.apply(
                 {"params": sub_params, "batch_stats": sub_stats},
-                xin, train=False, pooling=pooling,
+                xin, train=False, pooling=pooling, global_feature=gf,
             )
             return weighted_ce(logits, labels, weights)
 
@@ -531,7 +540,7 @@ def make_cloak_grl_step(
                 loss = loss + saliency_align * saliency_alignment_loss(
                     model, params, state.batch_stats, batch["spec"],
                     batch["labels_emo"], batch["labels_gen"],
-                    batch["weight"], pooling,
+                    batch["weight"], pooling, g,
                 )
             return loss, (emo_logits, gen_logits, mut)
 

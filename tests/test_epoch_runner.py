@@ -186,6 +186,111 @@ def test_epoch_runner_global_feature_matches_per_step_loop():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def _cloak_grl_setup(use_global):
+    """Shared fixture: a CloakedModelGRL + frozen-noise optimizer + data."""
+    from sept_tpu.models import CloakedModelGRL
+    from sept_tpu.train import ExperimentConfig, make_cloak_optimizer
+    from sept_tpu.train.steps import TrainState
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2,
+                           scale_lambda=0.1, hidden_size=8)
+    emo = Conv2dBiRNN(hidden_size=8, pred="emotion", dropout_rate=0.0)
+    gen = Conv2dBiRNN(hidden_size=8, pred="gender", dropout_rate=0.0)
+    model = CloakedModelGRL(emotion_backbone=emo, gender_backbone=gen,
+                            win_len=T, n_feats=D, grl_lambda=0.1)
+    key = jax.random.PRNGKey(8)
+    windows = jax.random.normal(key, (M, T, D))
+    gdata = jax.random.normal(jax.random.PRNGKey(9), (M, 88))
+    g0 = gdata[:BATCH] if use_global else None
+    v = jax.jit(model.init, static_argnames=())(
+        {"params": key, "noise": key, "dropout": key},
+        windows[:BATCH][..., None], global_feature=g0)
+    tx = make_cloak_optimizer(cfg, 10, v["params"],
+                              ("noise", "gender_backbone"))
+    state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                       opt_state=tx.init(v["params"]), rng=key,
+                       step=jnp.zeros((), jnp.int32))
+    labels = jnp.asarray(np.arange(M) % 4, jnp.int32)
+    return model, tx, state, windows, gdata, labels
+
+
+def test_cloak_grl_epoch_runner_global_matches_per_step():
+    """Scanned cloak+GRL epoch with use_global must equal the per-step GRL
+    loop bit-for-bit: both split rng 3-ways per batch, so the noise/dropout
+    streams line up, and the 88-dim global rows must be gathered per batch
+    into both frozen-emotion and GRL-gender branches
+    (cloak_models.py:110-118 concat semantics)."""
+    from sept_tpu.train.steps import (
+        make_cloak_epoch_runner,
+        make_cloak_grl_step,
+    )
+
+    model, tx, state0, windows, gdata, labels = _cloak_grl_setup(True)
+    order = jnp.asarray(np.random.default_rng(0).permutation(M))
+    n_batches = M // BATCH
+
+    step = make_cloak_grl_step(model, tx, scale_lambda=0.1, use_global=True)
+    s = state0
+    for i in range(n_batches):
+        idx = jax.lax.dynamic_slice_in_dim(order, i * BATCH, BATCH)
+        s, _ = step(s, {
+            "spec": windows[idx][..., None], "labels_emo": labels[idx],
+            "labels_gen": labels[idx] % 2, "global": gdata[idx],
+            "weight": jnp.ones(BATCH),
+        })
+
+    run = make_cloak_epoch_runner(model, tx, scale_lambda=0.1, grl=True,
+                                  use_global=True)
+    s2, losses, correct, counts = run(
+        state0, windows, labels, labels % 2, jnp.ones(M), order, None,
+        n_batches=n_batches, batch_size=BATCH, globals_=gdata,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+    for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cloak_epoch_runner_global_is_consumed():
+    """Non-GRL scanned cloak epoch with use_global: the global rows must
+    actually reach the frozen backbone (different globals -> different
+    losses) and only noise params move."""
+    from sept_tpu.models import CloakedModel
+    from sept_tpu.train import ExperimentConfig, make_cloak_optimizer
+    from sept_tpu.train.steps import TrainState, make_cloak_epoch_runner
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2,
+                           scale_lambda=0.1, hidden_size=8)
+    backbone = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    model = CloakedModel(backbone=backbone, win_len=T, n_feats=D)
+    key = jax.random.PRNGKey(8)
+    windows = jax.random.normal(key, (M, T, D))
+    gdata = jax.random.normal(jax.random.PRNGKey(9), (M, 88))
+    v = jax.jit(model.init)({"params": key, "noise": key},
+                            windows[:BATCH][..., None],
+                            global_feature=gdata[:BATCH])
+    tx = make_cloak_optimizer(cfg, 10, v["params"], ("noise",))
+    state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                       opt_state=tx.init(v["params"]), rng=key,
+                       step=jnp.zeros((), jnp.int32))
+    run = make_cloak_epoch_runner(model, tx, scale_lambda=0.1,
+                                  use_global=True)
+    labels = jnp.asarray(np.arange(M) % 4, jnp.int32)
+    order = jnp.asarray(np.arange(M))
+    s1, losses1, _, _ = run(
+        state, windows, labels, labels % 2, jnp.ones(M), order, None,
+        n_batches=M // BATCH, batch_size=BATCH, globals_=gdata,
+    )
+    _, losses2, _, _ = run(
+        state, windows, labels, labels % 2, jnp.ones(M), order, None,
+        n_batches=M // BATCH, batch_size=BATCH, globals_=gdata * 3.0,
+    )
+    assert np.isfinite(np.asarray(losses1)).all()
+    assert float(jnp.max(jnp.abs(losses1 - losses2))) > 0
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state.params["backbone"], s1.params["backbone"])
+    assert max(jax.tree.leaves(d)) == 0.0
+
+
 def test_deep_model_pooling_consistent_train_eval():
     """Regression: the 'deep' model types flatten the RNN sequence
     (pooling=None, training_cloak.py:132).  Training steps and epoch

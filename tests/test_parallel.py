@@ -151,9 +151,11 @@ def test_dp_scanned_epoch_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
 
 
-def test_dp_cloak_grl_epoch_matches_single_device():
+@pytest.mark.parametrize("use_global", [False, True])
+def test_dp_cloak_grl_epoch_matches_single_device(use_global):
     """The cloak+GRL minimax scanned epoch under DP == single device
-    (shared noise keys broadcast the same (T, D) draw on every shard)."""
+    (shared noise keys broadcast the same (T, D) draw on every shard);
+    with use_global the 88-dim rows are gathered per shard batch."""
     from sept_tpu.models import CloakedModelGRL
     from sept_tpu.parallel.epoch_dp import make_cloak_epoch_runner_dp
     from sept_tpu.train import make_cloak_optimizer
@@ -173,11 +175,14 @@ def test_dp_cloak_grl_epoch_matches_single_device():
 
     model, model_sync = build(False), build(True)
     windows, le, lg, weights = _split_arrays(32)
+    gdata = (jax.random.normal(jax.random.PRNGKey(5), (32, 88))
+             if use_global else None)
     x0 = jnp.asarray(windows[:16])[..., None]
     import functools
 
     v = jax.jit(functools.partial(model.init, train=True))(
-        {"params": KEY, "noise": KEY, "dropout": KEY}, x0
+        {"params": KEY, "noise": KEY, "dropout": KEY}, x0,
+        global_feature=None if gdata is None else gdata[:16],
     )
     tx = make_cloak_optimizer(cfg, 10, v["params"], ("noise", "gender_backbone"))
     state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
@@ -185,13 +190,14 @@ def test_dp_cloak_grl_epoch_matches_single_device():
                        step=jnp.zeros((), jnp.int32))
     order = np.random.default_rng(1).permutation(32)
     opts = dict(scale_lambda=0.1, gender_lambda=0.3, grl=True,
-                apply_scale_reg=True)
+                apply_scale_reg=True, use_global=use_global)
+    gkw = {"globals_": gdata} if use_global else {}
 
     run1 = make_cloak_epoch_runner(model, tx, **opts)
     s1, l1, c1, n1 = run1(
         state, jnp.asarray(windows), jnp.asarray(le), jnp.asarray(lg),
         jnp.asarray(weights), jnp.asarray(order), None,
-        n_batches=2, batch_size=16,
+        n_batches=2, batch_size=16, **gkw,
     )
 
     mesh = make_mesh()
@@ -199,7 +205,7 @@ def test_dp_cloak_grl_epoch_matches_single_device():
     s8, l8, c8, n8 = run8(
         state, jnp.asarray(windows), jnp.asarray(le), jnp.asarray(lg),
         jnp.asarray(weights), jnp.asarray(order), None,
-        n_batches=2, batch_size=16,
+        n_batches=2, batch_size=16, **gkw,
     )
 
     np.testing.assert_allclose(np.asarray(l8), np.asarray(l1), rtol=2e-5)
