@@ -275,6 +275,34 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return state, best
 
+    # ---- chip-unreachable fallback: featurize-only ----
+    # measured on this host: the scanned-epoch XLA:CPU compile alone takes
+    # >30 min on one core, so a cold CPU fallback can never print a train
+    # number inside any driver budget.  Report the honest thing that DOES
+    # fit — featurize-only throughput — and say so in the metric string.
+    if fallback:
+        val = N_UTTS / t_feat
+        detail.update({
+            "n_utts": N_UTTS,
+            "featurize_s": round(t_feat, 3),
+            "gemaps_emobase_s": (round(t_func, 3)
+                                 if t_func is not None else None),
+            "device": str(jax.devices()[0]),
+            "budget_s": budget,
+            "elapsed_s": round(time.perf_counter() - T0, 1),
+            "skipped": skipped + ["train_epoch:chip_unreachable"],
+        })
+        print(json.dumps({
+            "metric": "FEATURIZE-ONLY utterances/sec, CPU-fallback (TPU "
+                      "unreachable at bench time) — NOT the headline "
+                      "featurize+train chip metric",
+            "value": round(val, 2),
+            "unit": "utt/s (cpu, featurize only)",
+            "vs_baseline": None,
+            "detail": detail,
+        }))
+        return
+
     # ---- timed (HEADLINE): the production training epoch ----
     # bf16 conv/RNN compute (f32 params/accumulation) + the fused
     # first-conv-block Pallas kernel pair (ops/pallas_conv.py) — what

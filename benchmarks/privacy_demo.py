@@ -9,20 +9,26 @@ in the AM-modulated noise floor):
 1. featurize + 5 speaker-disjoint folds;
 2. per fold: SER baseline, gender adversary, cloak+GRL at suppression 0,
    then RATIO-MATCHED suppression cloaks {20, 40, 60, 80} (each loads the
-   suppression-0 cloak, freezes rhos, retrains locs under the
-   training-direction mask — training_cloak.py:364-371);
+   suppression-0 cloak, freezes rhos, retrains locs under the configured
+   mask — training_cloak.py:364-371);
 3. the cli.evaluate sweep: for each ratio x fold, load the cloak TRAINED AT
    THAT RATIO (:243-251), apply the evaluation-direction mask (:262-267),
    feed the noised windows to both frozen models, sliding-vote, aggregate
    fold means into the reference CSV schema.
 
-Cloak training uses the framework's variance-reduction extensions
-(--antithetic, --saliency_align; sept_tpu.train.steps) — the reference's
-single-draw sigma estimator leaves the scales uniform at this problem size,
-so its percentile masks would be random cell deletion — and trains the
-ratio-matched cloaks under the evaluation-direction mask
-(--mask_direction eval) so the locs are optimized for exactly the cells the
-sweep replaces.  The EVALUATION protocol is the reference's, unmodified.
+TWO TRAINING MODES are measured (the EVALUATION protocol is the
+reference's, unmodified, in both):
+
+- ``reference``: the cloak trainer exactly as the reference runs it —
+  single-draw sigma gradients, no saliency shaping, suppression masks in
+  the TRAINING direction (top-r%, training_cloak.py:368 — the direction
+  quirk-8 mismatches with the sweep's top-(100-r)% mask).
+- ``extended``: the framework's variance-reduction extensions
+  (--antithetic, --saliency_align 5.0) and --mask_direction eval, so the
+  locs are optimized for exactly the cells the sweep replaces.  The
+  reference's single-draw estimator leaves the sigma map near-uniform at
+  this problem size, making its percentile masks close to random cell
+  deletion; the extensions exist to fix that.
 
 Success direction: adversary (gender) UAR driven to chance (0.5) at some
 ratio while emotion UAR retains most of its clean value.
@@ -33,14 +39,17 @@ LOWER ratio suppresses MORE cells — ratio 20 replaces ~80% of feature
 cells with the learned locs, ratio 80 only ~20%, and ratio 0 applies no
 mask at all (full noise, features intact).  Adversary UAR therefore rises
 with ratio (fewer cells replaced -> more gender information survives)
-while the ratio-matched locs keep emotion UAR near clean everywhere —
-suppression, not the Gaussian noise alone, is what destroys the
-adversary, which is exactly the paper's mechanism.
+while ratio-matched locs keep emotion UAR near clean — suppression, not
+the Gaussian noise alone, is what destroys the adversary, which is
+exactly the paper's mechanism.
 
-Writes benchmarks/privacy_demo.json + benchmarks/privacy_sweep.csv.
-Run time: ~45-75 min on one chip (5 folds x 7 trainings + sweep).
+Writes benchmarks/privacy_demo.json (one block per mode) +
+benchmarks/privacy_sweep_<mode>.csv.  Run time: ~100 min per mode on one
+chip (5 folds x 7 trainings + sweep); select with --mode
+(both|extended|reference), default both.
 """
 
+import argparse
 import csv
 import json
 import os
@@ -53,9 +62,73 @@ import numpy as np
 RATIOS = [0, 20, 40, 60, 80]
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+MODE_ARGS = {
+    # the reference trainer: single-draw gradients, train-direction masks
+    # (training_cloak.py:145-147,364-371 semantics, no extensions)
+    "reference": ["--antithetic", "0", "--saliency_align", "0",
+                  "--mask_direction", "train"],
+    # framework extensions: variance-reduced sigma gradients + saliency
+    # shaping + eval-direction ratio-matched training
+    "extended": ["--antithetic", "1", "--saliency_align", "5.0",
+                 "--mask_direction", "eval"],
+}
+
+
+def run_mode(mode, base, out):
+    from sept_tpu.cli import evaluate, train_cloak
+
+    knobs = MODE_ARGS[mode]
+    cloak_args = [
+        "--grl", "1", "--scale_lamda", "1.0", "--num_epochs", "60",
+        "--optimizer", "adam", "--learning_rate", "1e-2",
+        "--grl_lambda", "1.0", "--gender_lambda", "1.0",
+        # the sigma map needs the full epoch budget to differentiate;
+        # val-loss early stopping (tuned for classifier training) cuts it
+        # short on some folds and collapses the suppression masks
+        "--early_stop_patience", "100",
+    ] + knobs
+    for ratio in RATIOS:
+        print(f"== [{mode}] cloak+GRL suppression {ratio} (5 folds) ==",
+              flush=True)
+        train_cloak.main(
+            base + cloak_args + ["--suppression_ratio", str(ratio), "--resume"]
+        )
+
+    print(f"== [{mode}] evaluation sweep (5 folds) ==", flush=True)
+    # the sweep resolves cloak artifacts by name, which encodes the training
+    # extensions (cli.train_cloak.cloak_artifact) — pass the same knobs
+    evaluate.main(base + ["--grl", "1", "--scale_lamda", "1.0",
+                          "--grl_lambda", "1.0", "--gender_lambda", "1.0"]
+                  + knobs)
+
+    sweep_csv = os.path.join(out, "grl-1.0.csv")
+    rows = {}
+    with open(sweep_csv) as f:
+        for row in csv.DictReader(f):
+            key = row[""]
+            ratio = int(key.split("_")[2])
+            rows[ratio] = {
+                "emotion_acc": float(row["baseline_acc"]),
+                "emotion_uar": float(row["baseline_rec"]),
+                "adversary_acc": float(row["adv_acc"]),
+                "adversary_uar": float(row["adv_rec"]),
+            }
+    # keep this mode's CSV before the other mode's sweep overwrites it
+    with open(sweep_csv) as src, open(
+        os.path.join(HERE, f"privacy_sweep_{mode}.csv"), "w"
+    ) as dst:
+        dst.write(src.read())
+    return rows
+
 
 def main():
-    from sept_tpu.cli import evaluate, featurize, preprocess, train_baseline, train_cloak
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("both", "extended", "reference"),
+                    default="both")
+    mode_arg = ap.parse_args().mode
+    modes = ["reference", "extended"] if mode_arg == "both" else [mode_arg]
+
+    from sept_tpu.cli import featurize, preprocess, train_baseline
 
     work, out = "/tmp/privacy_demo/work", "/tmp/privacy_demo/results"
     os.makedirs(work, exist_ok=True)
@@ -65,27 +138,6 @@ def main():
         "--win_len", "150", "--input_spec_size", "96",
         "--hidden_size", "32", "--batch_size", "32", "--seed", "8",
     ]
-    cloak_args = [
-        "--grl", "1", "--scale_lamda", "1.0", "--num_epochs", "60",
-        "--optimizer", "adam", "--learning_rate", "1e-2",
-        "--grl_lambda", "1.0", "--gender_lambda", "1.0",
-        "--antithetic", "1", "--saliency_align", "5.0",
-        # train the ratio-matched cloaks under the SAME percentile mask the
-        # evaluation sweep applies (the reference trains top-r% but evaluates
-        # top-(100-r)%, quirk 8 — its locs are untrained in most of the cells
-        # the sweep replaces); evaluation itself stays reference-exact
-        "--mask_direction", "eval",
-        # the sigma map needs the full epoch budget to differentiate; val-loss
-        # early stopping (tuned for classifier training) cuts it short on
-        # some folds and collapses the suppression masks toward random
-        "--early_stop_patience", "100",
-    ]
-    # the sweep resolves cloak artifacts by name, which encodes the training
-    # extensions (cli.train_cloak.cloak_artifact) — pass the same knobs
-    eval_args = ["--grl", "1", "--scale_lamda", "1.0",
-                 "--grl_lambda", "1.0", "--gender_lambda", "1.0",
-                 "--antithetic", "1", "--saliency_align", "5.0",
-                 "--mask_direction", "eval"]
 
     print("== featurize ==", flush=True)
     # --functionals 0: the demo trains with global_feature=0, so skip the
@@ -102,28 +154,6 @@ def main():
     train_baseline.main(base + ["--pred", "gender", "--adv", "1",
                                 "--num_epochs", "25", "--learning_rate", "2e-3",
                                 "--resume"])
-    for ratio in RATIOS:
-        print(f"== cloak+GRL suppression {ratio} (5 folds) ==", flush=True)
-        train_cloak.main(
-            base + cloak_args + ["--suppression_ratio", str(ratio), "--resume"]
-        )
-
-    print("== evaluation sweep (ratio-matched cloaks, 5 folds) ==", flush=True)
-    evaluate.main(base + eval_args)
-
-    # ---- aggregate: clean per-fold means + the sweep CSV -> demo json ----
-    sweep_csv = os.path.join(out, "grl-1.0.csv")
-    rows = {}
-    with open(sweep_csv) as f:
-        for row in csv.DictReader(f):
-            key = row[""]
-            ratio = int(key.split("_")[2])
-            rows[ratio] = {
-                "emotion_acc": float(row["baseline_acc"]),
-                "emotion_uar": float(row["baseline_rec"]),
-                "adversary_acc": float(row["adv_acc"]),
-                "adversary_uar": float(row["adv_rec"]),
-            }
 
     # clean = the frozen models on UN-noised features (per-fold manifests)
     def mean_manifest(art, key):
@@ -140,31 +170,52 @@ def main():
         "adversary_acc": mean_manifest("adv_baseline_gender", "test_acc"),
     }
 
-    best_ratio = min(
-        (r for r in RATIOS if r > 0), key=lambda r: rows[r]["adversary_uar"]
-    )
-    result = {
+    # preserve blocks from a previous run when only one mode is re-measured
+    demo_path = os.path.join(HERE, "privacy_demo.json")
+    result = {}
+    if os.path.exists(demo_path):
+        with open(demo_path) as f:
+            result = json.load(f)
+        if "sweep" in result:  # migrate the round-2 single-mode schema:
+            # that run trained with the extensions (see git history)
+            result["extended_mode"] = {
+                "trainer": "framework extensions: antithetic + "
+                           "saliency_align 5.0 + eval-direction masks",
+                "sweep": result.pop("sweep"),
+                "best_privacy_point": result.pop("best_privacy_point"),
+                "privacy_gain_uar": result.pop("privacy_gain_uar"),
+            }
+    result.update({
         "protocol": "adversary_cloak_evaluation.py:113-299 (ratio-matched "
-                    "cloaks, eval-direction masks, 5 folds)",
+                    "cloaks, eval-direction sweep masks, 5 folds)",
         "corpus": "synthetic_hard (make_hard_corpus: 20 speakers x 16 utts)",
         "clean": clean,
-        "sweep": {f"ratio_{r}": rows[r] for r in RATIOS},
-        "best_privacy_point": {
-            "ratio": best_ratio,
-            "adversary_uar": rows[best_ratio]["adversary_uar"],
-            "emotion_uar": rows[best_ratio]["emotion_uar"],
-            "emotion_retention_vs_clean":
-                rows[best_ratio]["emotion_uar"] / clean["emotion_uar"],
-        },
-        "privacy_gain_uar": clean["adversary_uar"]
-        - min(rows[r]["adversary_uar"] for r in RATIOS if r > 0),
-    }
-    with open(os.path.join(HERE, "privacy_demo.json"), "w") as f:
-        json.dump(result, f, indent=2)
-    with open(sweep_csv) as src, open(
-        os.path.join(HERE, "privacy_sweep.csv"), "w"
-    ) as dst:
-        dst.write(src.read())
+    })
+
+    for mode in modes:
+        rows = run_mode(mode, base, out)
+        best_ratio = min(
+            (r for r in RATIOS if r > 0), key=lambda r: rows[r]["adversary_uar"]
+        )
+        result[f"{mode}_mode"] = {
+            "trainer": ("reference-faithful: single-draw sigma gradients, "
+                        "train-direction masks (training_cloak.py:145-147,"
+                        "364-371)" if mode == "reference" else
+                        "framework extensions: antithetic + saliency_align "
+                        "5.0 + eval-direction ratio-matched masks"),
+            "sweep": {f"ratio_{r}": rows[r] for r in RATIOS},
+            "best_privacy_point": {
+                "ratio": best_ratio,
+                "adversary_uar": rows[best_ratio]["adversary_uar"],
+                "emotion_uar": rows[best_ratio]["emotion_uar"],
+                "emotion_retention_vs_clean":
+                    rows[best_ratio]["emotion_uar"] / clean["emotion_uar"],
+            },
+            "privacy_gain_uar": clean["adversary_uar"]
+            - min(rows[r]["adversary_uar"] for r in RATIOS if r > 0),
+        }
+        with open(demo_path, "w") as f:
+            json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 
 

@@ -1,0 +1,120 @@
+"""Bytes-vs-FLOPs roofline of the training step (VERDICT r2 item 4).
+
+Answers, with arithmetic instead of assertion, whether the Conv2dBiRNN
+training epoch is HBM-bandwidth-bound on the v5e chip:
+
+- FLOPs and bytes-accessed come from XLA's own cost model on the COMPILED
+  per-step program (``.compile().cost_analysis()``), not hand counting.
+- arithmetic intensity AI = flops / bytes; the v5e ridge point is
+  peak_flops / peak_bw  (bf16: 197e12 / 8.19e11 ~ 240 FLOP/byte).
+- bandwidth-floor time  t_bw  = bytes / 819 GB/s  and compute-floor time
+  t_mxu = flops / peak; the measured step time against max(t_bw, t_mxu)
+  says which wall we're near — and how near.  A measured time far above
+  BOTH floors means the step is bound by neither peak (strided-copy
+  effective bandwidth, VPU ops, or serialization), which is actionable
+  information the raw MFU number hides.
+
+Run on the chip:  python benchmarks/roofline.py
+Prints one JSON line per mode (f32/xla, bf16/xla, bf16/fused1).
+"""
+
+import json
+import time
+
+import numpy as np
+
+V5E_BF16_PEAK = 197e12   # FLOP/s
+V5E_F32_PEAK = 49e12     # FLOP/s (MXU f32 rate is 1/4 the bf16 rate)
+V5E_HBM_BW = 819e9       # bytes/s
+
+WIN, D, BATCH, N_BATCHES = 200, 128, 32, 64
+
+
+def main():
+    from sept_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from sept_tpu.models import Conv2dBiRNN
+    from sept_tpu.train import (
+        ExperimentConfig,
+        init_state,
+        make_baseline_step,
+        make_epoch_runner,
+        make_optimizer,
+    )
+
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-4,
+                           hidden_size=64, batch_size=BATCH)
+    tx = make_optimizer(cfg, steps_per_epoch=N_BATCHES)
+    dummy = {
+        "spec": jnp.zeros((BATCH, WIN, D, 1), jnp.float32),
+        "labels_emo": jnp.zeros((BATCH,), jnp.int32),
+        "labels_gen": jnp.zeros((BATCH,), jnp.int32),
+        "global": jnp.zeros((BATCH, 88), jnp.float32),
+        "weight": jnp.ones((BATCH,), jnp.float32),
+    }
+    m_total = N_BATCHES * BATCH
+    windows = jnp.asarray(
+        np.random.default_rng(8).standard_normal((m_total, WIN, D)),
+        jnp.float32)
+    labels = jnp.asarray(np.arange(m_total) % 4, jnp.int32)
+    weights = jnp.ones(m_total)
+    order = jnp.asarray(np.random.default_rng(0).permutation(m_total))
+
+    modes = [
+        ("f32_xla", dict()),
+        ("bf16_xla", dict(dtype=jnp.bfloat16)),
+        ("bf16_fused1", dict(dtype=jnp.bfloat16, conv_backend="fused1")),
+    ]
+    for name, kw in modes:
+        model = Conv2dBiRNN(hidden_size=64, pred="emotion", **kw)
+        state = init_state(model, tx, jax.random.PRNGKey(8), dummy)
+
+        # XLA cost model on the compiled per-step program
+        step = make_baseline_step(model, tx)
+        cost = step.lower(state, dummy).compile().cost_analysis() or {}
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+
+        # measured epoch time (min of 3, warm)
+        run = make_epoch_runner(model, tx)
+        out = run(state, windows, labels, weights, order,
+                  n_batches=N_BATCHES, batch_size=BATCH)
+        jax.block_until_ready(out[0].params)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(state, windows, labels, weights, order,
+                      n_batches=N_BATCHES, batch_size=BATCH)
+            jax.block_until_ready(out[0].params)
+            best = min(best, time.perf_counter() - t0)
+        t_step = best / N_BATCHES
+
+        peak = V5E_F32_PEAK if name.startswith("f32") else V5E_BF16_PEAK
+        t_bw = byts / V5E_HBM_BW if byts else None
+        t_mxu = flops / peak if flops else None
+        print(json.dumps({
+            "mode": name,
+            "step_ms": round(t_step * 1e3, 3),
+            "epoch_s": round(best, 3),
+            "flops_per_step": flops,
+            "bytes_per_step": byts,
+            "arith_intensity_flop_per_byte": (
+                round(flops / byts, 1) if byts else None),
+            "ridge_flop_per_byte": round(peak / V5E_HBM_BW, 1),
+            "t_bw_floor_ms": round(t_bw * 1e3, 3) if t_bw else None,
+            "t_mxu_floor_ms": round(t_mxu * 1e3, 3) if t_mxu else None,
+            "pct_of_hbm_peak": (
+                round(100 * t_bw / t_step, 1) if t_bw else None),
+            "pct_of_mxu_peak": (
+                round(100 * t_mxu / t_step, 1) if t_mxu else None),
+            "effective_gbps": (
+                round(byts / t_step / 1e9, 1) if byts else None),
+        }))
+
+
+if __name__ == "__main__":
+    main()
