@@ -28,7 +28,10 @@ import torch
 import torch.nn as nn
 
 SR = 16000
-N_UTTS = 64
+# default 1024 = the same scale bench.py times, so vs_baseline divides two
+# same-size runs (a 64-utt run extrapolated ~linearly but left an asterisk
+# on the headline; VERDICT r2).  Override with SEPT_REF_N_UTTS.
+N_UTTS = int(os.environ.get("SEPT_REF_N_UTTS", "1024"))
 DUR_S = 2.5
 WIN, SHIFT, D = 200, 50, 128
 
