@@ -1,6 +1,7 @@
 """Offline batch inference CLI: WAV directory in, prediction CSV out."""
 
 import csv
+import pytest
 import os
 
 import jax
@@ -10,6 +11,9 @@ import numpy as np
 from sept_tpu.models import Conv2dBiRNN
 from sept_tpu.runtime import write_wav
 from sept_tpu.train.checkpoint import CheckpointManager
+
+# multi-minute on one core: excluded from the default fast lane (pyproject addopts)
+pytestmark = pytest.mark.slow
 
 D, WIN = 32, 60
 

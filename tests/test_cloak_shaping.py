@@ -17,6 +17,9 @@ from sept_tpu.train.steps import (
     saliency_alignment_loss,
 )
 
+# multi-minute on one core: excluded from the default fast lane (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 T, D = 40, 32
 KEY = jax.random.PRNGKey(8)
 

@@ -2,6 +2,7 @@
 (setup_seed(8), training_tools.py:69-74) — same seed, same run."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -15,6 +16,9 @@ from sept_tpu.train import (
     make_optimizer,
 )
 from sept_tpu.train.loop import fit
+
+# multi-minute on one core: excluded from the default fast lane (pyproject addopts)
+pytestmark = pytest.mark.slow
 
 
 def _run(seed: int):

@@ -1,6 +1,7 @@
 """On-device ingest parity vs the host pipeline primitives."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from sept_tpu.data.device_pipeline import device_ingest, prepare_waves
@@ -22,6 +23,7 @@ def _mini_corpus(rng, n=6, sr=16000):
     return waves, np.asarray(spk, np.int32)
 
 
+@pytest.mark.slow
 def test_device_ingest_matches_host_pipeline(rng):
     waves, spk = _mini_corpus(rng)
     emo = np.arange(len(waves), dtype=np.int32) % 4

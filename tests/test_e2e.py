@@ -34,6 +34,9 @@ from sept_tpu.train import (
 from sept_tpu.train.loop import fit, run_test
 from sept_tpu.train.steps import TrainState
 
+# multi-minute on one core: excluded from the default fast lane (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 WIN, D = 100, 64
 
 

@@ -14,6 +14,9 @@ from sept_tpu.train import (
     make_optimizer,
 )
 
+# multi-minute on one core: excluded from the default fast lane (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 T, D, M, BATCH = 32, 16, 24, 8
 
 

@@ -63,6 +63,7 @@ def test_padded_gradient_matches_np_gradient():
             assert not out[i, len(w):].any()
 
 
+@pytest.mark.slow
 def test_featurize_corpus_staged_matches_per_utterance_ops():
     # end-to-end: the staged bucket program equals the single-utterance op
     from sept_tpu.ops.frontend import mel_spectrogram, mfcc_with_deltas
@@ -109,6 +110,7 @@ def test_featurize_corpus_int16_staging_bitwise_equal(feature_type):
             np.testing.assert_array_equal(a[u][k], b[u][k])
 
 
+@pytest.mark.slow
 def test_functionals_int16_staging_bitwise_equal():
     from sept_tpu.ops.emobase import combined_functionals_batch
 

@@ -100,6 +100,7 @@ class TestMaskedStats:
 
 
 class TestEgemapsDeviceParity:
+    @pytest.mark.slow
     def test_device_reduction_matches_numpy_oracle(self):
         from sept_tpu.data.synthetic import make_corpus
         from sept_tpu.ops.egemaps import (
@@ -117,6 +118,7 @@ class TestEgemapsDeviceParity:
                 err_msg=f"device/oracle mismatch for {u}",
             )
 
+    @pytest.mark.slow
     def test_single_equals_batch(self):
         from sept_tpu.data.synthetic import make_corpus
         from sept_tpu.ops.egemaps import (
@@ -144,6 +146,7 @@ class TestEmobase:
         np.testing.assert_array_equal(v1, v2)
         assert np.all(np.isfinite(v1))
 
+    @pytest.mark.slow
     def test_functional_block_semantics(self):
         """Spot-check the per-track functional layout against numpy on the
         raw LLD tracks (max/min/mean/median at their documented offsets)."""
@@ -166,6 +169,7 @@ class TestEmobase:
                 np.percentile(col, 50), rel=1e-3, abs=1e-4
             )
 
+    @pytest.mark.slow
     def test_gender_signal(self):
         """The F0-bearing dims must separate synthetic genders."""
         from sept_tpu.data.synthetic import make_corpus
@@ -183,6 +187,7 @@ class TestEmobase:
         f0_dim = 4 * 19 + 5
         assert f[:, f0_dim].mean() > m[:, f0_dim].mean() + 30.0
 
+    @pytest.mark.slow
     def test_egemaps_probe_signal(self):
         """The 88-dim eGeMAPS vector must carry DOWNSTREAM signal, not just a
         sensitive F0 dim: a linear probe on z-normed vectors must recover
@@ -234,6 +239,7 @@ class TestEmobase:
             assert store[u]["emobase"].shape == (988,)
 
 
+@pytest.mark.slow
 def test_combined_batch_matches_separate_paths():
     """combined_functionals_batch (one device program, shared STFT) must
     return exactly what the separate egemaps/emobase batch extractors do."""

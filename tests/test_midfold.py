@@ -16,6 +16,9 @@ from sept_tpu.train import (
 )
 from sept_tpu.train.device_loop import fit_device
 
+# multi-minute on one core: excluded from the default fast lane (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 T, D = 40, 32
 KEY = jax.random.PRNGKey(8)
 

@@ -45,6 +45,7 @@ def _init_apply(model, *args, train=False, **kwargs):
 
 
 @pytest.mark.parametrize("pred,n_out", [("emotion", 4), ("gender", 2)])
+@pytest.mark.slow
 def test_conv2d_birnn_shapes(pred, n_out):
     model = Conv2dBiRNN(hidden_size=64, pred=pred)
     logits, variables = _init_apply(model, _x())
@@ -76,6 +77,7 @@ def test_deep_variant_flatten_pooling():
     assert variables["params"]["heads"]["dense1"]["kernel"].shape[0] == 2 * 64 * (T // 8)
 
 
+@pytest.mark.slow
 def test_one_d_and_plain_2d_models_run():
     logits, _ = _init_apply(OneDConvNet(), _x())
     assert logits.shape == (B, 4)
@@ -139,6 +141,7 @@ def test_cloak_noise_mask_gates_eps_not_locs():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_cloaked_model_outputs_and_noisy_stopgrad():
     backbone = Conv2dBiRNN(hidden_size=32, pred="emotion")
     model = CloakedModel(backbone=backbone, win_len=T, n_feats=D)
@@ -160,6 +163,7 @@ def test_cloaked_model_outputs_and_noisy_stopgrad():
     assert float(jnp.max(jnp.abs(g["noise"]["locs"]))) == 0.0
 
 
+@pytest.mark.slow
 def test_cloaked_model_grads_flow_through_frozen_backbone():
     backbone = Conv2dBiRNN(hidden_size=32, pred="emotion")
     model = CloakedModel(backbone=backbone, win_len=T, n_feats=D)
@@ -179,6 +183,7 @@ def test_cloaked_model_grads_flow_through_frozen_backbone():
     assert float(jnp.max(jnp.abs(g["noise"]["rhos"]))) > 0.0
 
 
+@pytest.mark.slow
 def test_cloaked_grl_gradient_signs():
     """The GRL game: gender loss gradient w.r.t. noise params is REVERSED.
 
@@ -226,6 +231,7 @@ def test_cloaked_grl_gradient_signs():
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_bf16_and_remat_modes():
     """TPU perf knobs: bf16 compute keeps f32 params; remat grads match."""
     x = jax.random.normal(KEY, (2, 40, 32, 1))

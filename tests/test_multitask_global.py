@@ -1,6 +1,7 @@
 """Multitask training step and the 88-dim global-feature path."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +29,7 @@ def _batch(b=8):
     }
 
 
+@pytest.mark.slow
 def test_multitask_step_trains_both_heads():
     cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2, weight_decay=0.0)
     model = Conv2dBiRNN(hidden_size=16, pred="multitask")
@@ -44,6 +46,7 @@ def test_multitask_step_trains_both_heads():
         assert d > 0, head
 
 
+@pytest.mark.slow
 def test_global_feature_path_changes_logits():
     cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-3)
     model = Conv2dBiRNN(hidden_size=16, pred="emotion")

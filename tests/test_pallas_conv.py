@@ -18,6 +18,9 @@ from sept_tpu.ops.pallas_conv import (
     fused_block1_train,
 )
 
+# multi-minute on one core: excluded from the default fast lane (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 EPS = 1e-5
 B, C = 2, 32
 

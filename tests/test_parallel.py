@@ -26,6 +26,9 @@ from sept_tpu.train import (
     make_optimizer,
 )
 
+# multi-minute on one core: excluded from the default fast lane (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 T, D = 40, 32
 KEY = jax.random.PRNGKey(8)
 

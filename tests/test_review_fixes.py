@@ -13,6 +13,7 @@ T, D = 40, 32
 KEY = jax.random.PRNGKey(8)
 
 
+@pytest.mark.slow
 def test_suppression_freezes_rhos_but_not_locs():
     """Reference: suppression runs freeze rhos, train only locs
     (training_cloak.py:367)."""
@@ -39,6 +40,7 @@ def test_suppression_freezes_rhos_but_not_locs():
         s1.params["noise"]["locs"] - state.params["noise"]["locs"]))) > 0.0
 
 
+@pytest.mark.slow
 def test_build_backbone_2d_cnn_with_cli_kwargs():
     """The CLI always passes attention_size; 2d-cnn must not crash."""
     m = build_backbone("2d-cnn", hidden_size=64, pred="emotion", att=None,
@@ -121,6 +123,7 @@ def test_vote_cache_pins_logits_fn_against_id_reuse():
     L._VOTE_CACHE.clear()
 
 
+@pytest.mark.slow
 def test_scanned_val_pass_matches_single_forward():
     """make_val_pass (batched, memory-bounded) must reproduce the global
     weighted-CE loss and predictions of one whole-split forward."""

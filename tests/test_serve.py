@@ -53,6 +53,7 @@ def test_cloaked_predictor_changes_output(rng):
     np.testing.assert_allclose(cloaked, again, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_deep_model_predictor_uses_flatten_pooling(rng):
     """Regression: a deep-model checkpoint is trained with pooling=None
     (flatten); the Predictor must apply the same pooling or dense1's width
@@ -128,6 +129,7 @@ def test_http_server_routes(rng):
         server.shutdown()
 
 
+@pytest.mark.slow
 def test_load_predictor_from_artifacts(rng, tmp_path):
     """load_predictor rebuilds clean and cloaked predictors from the
     on-disk artifact layout the training CLIs write."""
@@ -220,6 +222,7 @@ def test_predict_bucketing_is_transparent(rng):
     np.testing.assert_allclose(alone[0], batched[0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_load_predictor_reads_training_manifest(rng, tmp_path):
     """With no overrides, load_predictor builds the model from the
     manifest_fold<k>.json written at training time (a mismatch would fail
@@ -310,6 +313,7 @@ def test_healthz_responsive_while_predict_holds_the_device(rng):
         server.shutdown()
 
 
+@pytest.mark.slow
 def test_bucketing_shape_is_pure_function_of_buckets(rng):
     """The jit shape must depend only on (row bucket, frame bucket): raw
     sample lengths inside one bucket — including lengths whose frame count
@@ -706,6 +710,7 @@ def test_streaming_tail_window_and_ttl(rng):
         server.shutdown()
 
 
+@pytest.mark.slow
 def test_multitask_predictor_and_server(rng):
     """A pred='multitask' artifact serves both heads: dict from predict(),
     a per-task block over HTTP, and a rolling stream prediction."""

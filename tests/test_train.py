@@ -101,6 +101,7 @@ def baseline_setup():
     return cfg, model, tx, state
 
 
+@pytest.mark.slow
 def test_baseline_step_updates_params_and_loss(baseline_setup):
     cfg, model, tx, state = baseline_setup
     step = make_baseline_step(model, tx)
@@ -112,6 +113,7 @@ def test_baseline_step_updates_params_and_loss(baseline_setup):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_baseline_step_overfits_one_batch():
     # higher LR so 25 steps visibly reduce the loss on a fixed batch;
     # dropout off so the compared losses are deterministic (with the
@@ -145,6 +147,7 @@ def test_baseline_step_batchnorm_stats_update(baseline_setup):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_cloak_step_only_moves_noise_params():
     cfg = small_cfg(optimizer="sgd", learning_rate=1e-2, scale_lambda=0.1)
     backbone = Conv2dBiRNN(hidden_size=16, pred="emotion")
@@ -172,6 +175,7 @@ def test_cloak_step_only_moves_noise_params():
     assert max(jax.tree.leaves(d)) == 0.0
 
 
+@pytest.mark.slow
 def test_cloak_grl_step_moves_noise_and_gender_not_emotion():
     cfg = small_cfg(optimizer="sgd", learning_rate=1e-2)
     emo = Conv2dBiRNN(hidden_size=16, pred="emotion")
