@@ -199,20 +199,28 @@ def main():
     # ---- extra: the fused Pallas bf16 frontend (transfer-bound => must
     # run before any model program, so it is gated hard) ----
     t_feat_bf16 = None
-    if not cold and not on_cpu and remaining() > RESERVE_EPOCH + 90:
+    if on_cpu:
+        skipped.append("featurize_bf16:cpu_backend")
+    elif cold:
+        skipped.append("featurize_bf16:cold_cache")
+    elif remaining() <= RESERVE_EPOCH + 90:
+        skipped.append("featurize_bf16:budget")
+    else:
         try:
             _progress("start bf16 ingest")
             _, t_feat_bf16, _ = timed_ingest("pallas_bf16",
                                              RESERVE_EPOCH + 60)
         except Exception:
             skipped.append("featurize_bf16:error")
-    else:
-        skipped.append("featurize_bf16:budget")
 
     # ---- extra: functional featurization (gemaps + emobase), warm ----
     # the production path: one device program computes both sets per chunk
     t_func = None
-    if not cold and remaining() > RESERVE_EPOCH + 90:
+    if cold:
+        skipped.append("gemaps_emobase:cold_cache")
+    elif remaining() <= RESERVE_EPOCH + 90:
+        skipped.append("gemaps_emobase:budget")
+    else:
         try:
             _progress("start functionals")
             from sept_tpu.ops.emobase import combined_functionals_batch
@@ -229,8 +237,6 @@ def main():
         except Exception:
             t_func = None
             skipped.append("gemaps_emobase:error")
-    else:
-        skipped.append("gemaps_emobase:budget")
 
     # ---- model setup (slow-transfer mode starts here; all remaining
     # stages run on device-resident data) ----
@@ -313,7 +319,8 @@ def main():
     # representative), so the fallback headline uses the XLA f32 model.
     if on_cpu:
         headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion")
-        headline_mode = "f32 XLA epoch (CPU fallback)"
+        headline_mode = ("f32 XLA featurize+epoch on the CPU backend "
+                         "(JAX_PLATFORMS=cpu diagnostics run)")
     else:
         headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion",
                                      dtype=jnp.bfloat16,
@@ -331,19 +338,29 @@ def main():
 
     # extra: f32 epoch (the full-parity mode)
     t_train = None
-    if not on_cpu and not cold and remaining() > 90:
+    if on_cpu:
+        pass  # the CPU headline IS the f32 epoch
+    elif cold:
+        skipped.append("train_epoch_f32:cold_cache")
+    elif remaining() <= 90:
+        skipped.append("train_epoch_f32:budget")
+    else:
         try:
             _progress("start f32 epoch")
             _, t_train = timed_epoch(Conv2dBiRNN(hidden_size=64,
                                                  pred="emotion"), 45.0)
         except Exception:
             skipped.append("train_epoch_f32:error")
-    elif not on_cpu:
-        skipped.append("train_epoch_f32:budget")
 
     # extra: bf16 epoch with the plain XLA conv lowering
     t_train_bf16 = None
-    if not on_cpu and not cold and remaining() > 90:
+    if on_cpu:
+        skipped.append("train_epoch_bf16_xla:cpu_backend")
+    elif cold:
+        skipped.append("train_epoch_bf16_xla:cold_cache")
+    elif remaining() <= 90:
+        skipped.append("train_epoch_bf16_xla:budget")
+    else:
         try:
             _progress("start bf16-xla epoch")
             _, t_train_bf16 = timed_epoch(
@@ -351,15 +368,17 @@ def main():
                             dtype=jnp.bfloat16), 45.0)
         except Exception:
             skipped.append("train_epoch_bf16_xla:error")
-    elif not on_cpu:
-        skipped.append("train_epoch_bf16_xla:budget")
 
     # extra: MFU — XLA-counted FLOPs of ONE train step x n_batches /
     # elapsed / peak.  (cost_analysis on the scanned epoch counts the scan
     # body once, not x n_batches, so the per-step program is the honest
     # FLOP source.)  This is a fresh lowering+compile: budget-gated.
     flops = None
-    if not cold and remaining() > 60:
+    if cold:
+        skipped.append("mfu_lowering:cold_cache")
+    elif remaining() <= 60:
+        skipped.append("mfu_lowering:budget")
+    else:
         try:
             _progress("start mfu lowering")
             from sept_tpu.train import make_baseline_step
@@ -373,13 +392,13 @@ def main():
                 flops = float(cost["flops"]) * n_batches
         except Exception:
             skipped.append("mfu_lowering:error")
-    else:
-        skipped.append("mfu_lowering:budget")
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "reference_cpu.json")
     vs_baseline = None
-    if os.path.exists(ref_path):
+    # vs_baseline compares the CHIP pipeline to the torch-CPU reference;
+    # a forced-CPU diagnostics run is neither, so it reports no ratio
+    if not on_cpu and os.path.exists(ref_path):
         with open(ref_path) as f:
             ref = json.load(f)
         vs_baseline = round(utts_per_sec / ref["utts_per_sec"], 2)
@@ -414,11 +433,19 @@ def main():
         "skipped": skipped,
     })
 
+    if on_cpu:
+        metric = ("featurize+train utterances/sec on the CPU BACKEND "
+                  "(forced via JAX_PLATFORMS=cpu; f32, no fused kernels) — "
+                  "NOT the chip headline")
+        unit = "utt/s (cpu)"
+    else:
+        metric = ("featurize+train utterances/sec/chip (2.5s utts, mel128 +"
+                  " Conv2dBiRNN epoch, bf16 compute + fused conv kernels)")
+        unit = "utt/s/chip"
     print(json.dumps({
-        "metric": "featurize+train utterances/sec/chip (2.5s utts, mel128 + "
-                  "Conv2dBiRNN epoch, bf16 compute + fused conv kernels)",
+        "metric": metric,
         "value": round(utts_per_sec, 2),
-        "unit": "utt/s/chip",
+        "unit": unit,
         "vs_baseline": vs_baseline,
         "detail": detail,
     }))

@@ -51,12 +51,21 @@ def enable_compile_cache(path: str | None = None) -> None:
                     pass
             root = os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))
+            # only treat three-dirnames-up as "the repo" when it actually is
+            # a checkout; for a site-packages install that path would drop
+            # the cache inside the install tree
+            is_checkout = any(
+                os.path.exists(os.path.join(root, m))
+                for m in (".git", "pyproject.toml")
+            )
             cand = os.path.join(root, ".jax_cache", tag)
             try:
+                if not is_checkout:
+                    raise OSError("not a checkout")
                 os.makedirs(cand, exist_ok=True)
                 path = cand
             except OSError:
-                path = f"/tmp/sept_tpu_jax_cache_{backend}"
+                path = f"/tmp/sept_tpu_jax_cache_{tag}"
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -126,13 +126,24 @@ def main(argv=None):
         )
 
         for path in args.import_opensmile:
-            replaced, unmatched = apply_opensmile(
+            replaced, unmatched, uncovered = apply_opensmile(
                 store, load_opensmile_file(path))
             if unmatched:
                 p.error(
                     f"--import_opensmile {path}: "
                     f"{len(unmatched)} utterance ids not in this corpus "
                     f"(first: {unmatched[:3]}) — wrong corpus or id scheme?"
+                )
+            for name, miss in uncovered.items():
+                # a partial import silently mixes real openSMILE values
+                # with stand-ins (or zeros) — make the gap impossible to
+                # miss without blocking intentional partial corpora
+                print(
+                    f"WARNING: --import_opensmile {path} covers only "
+                    f"{len(store) - len(miss)}/{len(store)} utterances for "
+                    f"{name!r}; the other {len(miss)} (first: {miss[:3]}) "
+                    "keep computed stand-in values and are NOT numerically "
+                    "interoperable with reference artifacts"
                 )
             print(f"imported {replaced} openSMILE functional vectors "
                   f"from {path}")

@@ -192,9 +192,6 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
             mesh=mesh, resume_path=resume_path,
         )
     else:
-        if mesh is not None:
-            print("note: --n_devices DP needs the device loop (no global "
-                  "feature); training single-device")
         result = fit(
             state, step, jax.jit(eval_logits), fold.training, fold.validation,
             fold.test, cfg, spk_weights=spk_w, mask=mask, verbose=verbose,

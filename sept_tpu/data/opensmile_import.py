@@ -121,15 +121,21 @@ def load_opensmile_file(path: str) -> dict[str, dict[str, np.ndarray]]:
 def apply_opensmile(
     store: dict[str, dict[str, np.ndarray]],
     imported: dict[str, dict[str, np.ndarray]],
-) -> tuple[int, list[str]]:
+) -> tuple[int, list[str], dict[str, list[str]]]:
     """Overwrite the store's stand-in functionals with imported values.
 
-    Returns ``(n_replaced, unmatched_ids)`` where ``n_replaced`` counts
-    (utterance, feature-set) pairs written into ``store`` and
-    ``unmatched_ids`` lists imported utterance ids absent from the store
-    (so a typo'd CSV fails loudly at the CLI instead of silently training
-    on stand-ins)."""
+    Returns ``(n_replaced, unmatched_ids, uncovered)``:
+
+    - ``n_replaced`` counts (utterance, feature-set) pairs written;
+    - ``unmatched_ids`` lists imported utterance ids absent from the store
+      (a typo'd CSV fails loudly at the CLI instead of silently training
+      on stand-ins);
+    - ``uncovered`` maps each imported feature-set name to the STORE
+      utterances the import did NOT cover — a partial CSV would otherwise
+      silently mix real openSMILE values with TPU stand-ins (or zeros,
+      pipeline.py:142) and defeat the interoperability guarantee."""
     replaced, unmatched = 0, []
+    names = {n for feats in imported.values() for n in feats}
     for utt, feats in imported.items():
         if utt not in store:
             unmatched.append(utt)
@@ -137,4 +143,8 @@ def apply_opensmile(
         for name, vec in feats.items():
             store[utt][name] = vec
             replaced += 1
-    return replaced, unmatched
+    uncovered = {
+        name: [u for u in store if name not in imported.get(u, ())]
+        for name in sorted(names)
+    }
+    return replaced, unmatched, {k: v for k, v in uncovered.items() if v}

@@ -36,8 +36,8 @@ def test_csv_roundtrip_gemaps(tmp_path):
     # replaces the stand-in values in a store
     store = {u: {"mfcc": np.zeros((120, 10)), "gemaps": np.zeros(88)}
              for u in vecs}
-    replaced, unmatched = apply_opensmile(store, imported)
-    assert replaced == 3 and unmatched == []
+    replaced, unmatched, uncovered = apply_opensmile(store, imported)
+    assert replaced == 3 and unmatched == [] and uncovered == {}
     for u, v in vecs.items():
         np.testing.assert_array_equal(store[u]["gemaps"], v)
         assert store[u]["mfcc"].shape == (120, 10)  # untouched
@@ -90,6 +90,18 @@ def test_unmatched_ids_reported():
     store = {"a": {"gemaps": np.zeros(88)}}
     imported = {"a": {"gemaps": np.ones(88, np.float32)},
                 "zzz": {"gemaps": np.ones(88, np.float32)}}
-    replaced, unmatched = apply_opensmile(store, imported)
+    replaced, unmatched, uncovered = apply_opensmile(store, imported)
     assert replaced == 1
     assert unmatched == ["zzz"]
+    assert uncovered == {}
+
+
+def test_partial_coverage_reported():
+    """A CSV covering only part of the corpus must surface the gap: the
+    uncovered utterances keep stand-in values (or zeros downstream,
+    pipeline.py:142), which silently breaks interoperability."""
+    store = {u: {"gemaps": np.zeros(88)} for u in ("a", "b", "c")}
+    imported = {"a": {"gemaps": np.ones(88, np.float32)}}
+    replaced, unmatched, uncovered = apply_opensmile(store, imported)
+    assert replaced == 1 and unmatched == []
+    assert uncovered == {"gemaps": ["b", "c"]}
