@@ -251,6 +251,55 @@ def test_fused_conv_block_compiled_parity():
         assert float(jnp.abs(a - b).max()) < 0.05 * s, name
 
 
+def test_global_cloak_grl_scanned_epoch_on_chip():
+    """The scanned cloak+GRL epoch with the 88-dim global concat (new in
+    r3: use_global rides the device loop) compiles and trains on hardware:
+    finite loss, noise moving, frozen emotion backbone bit-identical."""
+    import functools
+
+    from sept_tpu.models import CloakedModelGRL, Conv2dBiRNN
+    from sept_tpu.train import ExperimentConfig, make_cloak_optimizer
+    from sept_tpu.train.steps import TrainState, make_cloak_epoch_runner
+
+    T, D, M, B = 40, 32, 16, 8
+    rng = np.random.default_rng(5)
+    windows = jnp.asarray(rng.standard_normal((M, T, D)).astype(np.float32))
+    gdata = jnp.asarray(rng.standard_normal((M, 88)).astype(np.float32))
+    labels = jnp.asarray((np.arange(M) % 4).astype(np.int32))
+    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-2,
+                           scale_lambda=0.1, hidden_size=8)
+    model = CloakedModelGRL(
+        emotion_backbone=Conv2dBiRNN(hidden_size=8, pred="emotion",
+                                     dropout_rate=0.0),
+        gender_backbone=Conv2dBiRNN(hidden_size=8, pred="gender",
+                                    dropout_rate=0.0),
+        grl_lambda=0.1, win_len=T, n_feats=D,
+    )
+    key = jax.random.PRNGKey(8)
+    v = jax.jit(functools.partial(model.init, train=True))(
+        {"params": key, "noise": key, "dropout": key},
+        windows[:B][..., None], global_feature=gdata[:B])
+    tx = make_cloak_optimizer(cfg, 10, v["params"],
+                              ("noise", "gender_backbone"))
+    state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                       opt_state=tx.init(v["params"]), rng=key,
+                       step=jnp.zeros((), jnp.int32))
+    run = make_cloak_epoch_runner(model, tx, scale_lambda=0.1, grl=True,
+                                  use_global=True)
+    s1, losses, _, _ = run(
+        state, windows, labels, labels % 2, jnp.ones(M),
+        jnp.asarray(np.arange(M)), None,
+        n_batches=M // B, batch_size=B, globals_=gdata,
+    )
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert float(jnp.max(jnp.abs(
+        s1.params["noise"]["locs"] - state.params["noise"]["locs"]))) > 0
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state.params["emotion_backbone"],
+                     s1.params["emotion_backbone"])
+    assert max(jax.tree.leaves(d)) == 0.0
+
+
 def test_int16_pcm_staging_bit_equal_on_chip():
     """int16 PCM staging (half the H2D bytes) must be bit-equal to float32
     staging on the real backend: the on-device 2^-15 normalize is exact
