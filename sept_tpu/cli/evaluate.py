@@ -64,8 +64,13 @@ def main(argv=None):
                                pred="gender", att=cfg.att,
                                attention_size=cfg.attention_size)
     pooling = pooling_for(cfg.model_type)
-    emo_fn = make_eval_logits_fn(emotion, pooling=pooling)
-    adv_fn = make_eval_logits_fn(adversary, pooling=pooling)
+    # use_global: the frozen models were trained with the 88-dim concat and
+    # must see it at eval too (the reference's --global_feature eval path is
+    # a latent crash — it omits the global arg, see eval/sweep.py)
+    emo_fn = make_eval_logits_fn(emotion, pooling=pooling,
+                                 use_global=cfg.global_feature)
+    adv_fn = make_eval_logits_fn(adversary, pooling=pooling,
+                                 use_global=cfg.global_feature)
 
     per_ratio = {}
     for ratio in args.ratios:
@@ -108,6 +113,7 @@ def main(argv=None):
                 noise_apply, emo_logits, adv_logits, fold.test, mask_j,
                 win_len=cfg.win_len, shift_len=cfg.shift_len,
                 noise_seed=cfg.seed, mesh=mesh,
+                use_global=cfg.global_feature,
             )
             fold_results.append((b, a))
             print(

@@ -61,12 +61,21 @@ def evaluate_cloaked_test(
     batch_size: int = 16,
     noise_seed: int = 8,
     mesh=None,
+    use_global: bool = False,
 ) -> tuple[dict, dict]:
     """Run the cloak -> frozen-models evaluation protocol on one test split.
 
     ``noise_apply(spec_windows (N, T, D, 1), mask, rng) -> noised windows``;
     the logits fns map (N, win_len, D, 1) windows to logits.  Returns
     (baseline_result, adversary_result) dicts with acc/uar/conf.
+
+    ``use_global``: feed each utterance's 88-dim global vector to BOTH
+    frozen models alongside its noised windows.  The reference's
+    --global_feature eval path can't run at all — it builds global-width
+    frozen models but then calls ``baseline_model(noisy)`` with no global
+    argument (adversary_cloak_evaluation.py:83-84 vs :216-236), a latent
+    crash like quirk 9.  Passing the globals is the only semantics
+    consistent with how those models were trained.
 
     ``mesh``: optional 1-D data mesh — test utterances are sharded on the
     batch axis and the vote runs SPMD (the program is a pure map, so XLA
@@ -107,18 +116,23 @@ def evaluate_cloaked_test(
         pad = pad_to - (hi - lo)
         specs = test.windows[lo:hi]
         lengths = test.lengths[lo:hi]
+        g = test.global_data[lo:hi].astype(np.float32) if use_global else None
         if pad:
             specs = np.concatenate(
                 [specs, np.zeros((pad,) + specs.shape[1:], specs.dtype)]
             )
             lengths = np.concatenate([lengths, np.full(pad, win_len, np.int32)])
+            if g is not None:
+                g = np.concatenate([g, np.zeros((pad, g.shape[1]), g.dtype)])
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             row = NamedSharding(mesh, P("data"))
             specs = jax.device_put(jnp.asarray(specs), row)
             lengths = jax.device_put(jnp.asarray(lengths), row)
-        p, _ = vote(None, None, specs, lengths, None)
+            if g is not None:
+                g = jax.device_put(jnp.asarray(g), row)
+        p, _ = vote(None, None, specs, lengths, g)
         p = np.asarray(p)
         emo_preds.append(np.argmax(p[: hi - lo, :n_emo], -1))
         adv_preds.append(np.argmax(p[: hi - lo, n_emo:], -1))

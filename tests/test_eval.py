@@ -68,3 +68,52 @@ def test_mask_direction_flag_plumbs():
     cfg = config_from_args(p.parse_args(["--mask_direction", "eval"]))
     assert cfg.mask_direction == "eval"
     assert config_from_args(p.parse_args([])).mask_direction == "train"
+
+
+def test_evaluate_cloaked_test_consumes_globals():
+    """use_global: the sweep must hand each utterance's 88-dim vector to the
+    frozen models (the reference's --global_feature eval path omits it and
+    crashes on global-width models, adversary_cloak_evaluation.py:83-84 vs
+    :216-236 — fixed idiomatically here)."""
+    from sept_tpu.data.pipeline import SplitArrays
+    from sept_tpu.eval.sweep import evaluate_cloaked_test
+
+    rng = np.random.default_rng(0)
+    m, t, d, win = 6, 24, 8, 12
+    w = jnp.asarray(rng.standard_normal((d * win, 4)).astype(np.float32))
+    wg = jnp.asarray(rng.standard_normal((88, 4)).astype(np.float32))
+
+    def logits(wins, g):
+        flat = wins[..., 0].reshape(wins.shape[0], -1) @ w
+        return flat + (g @ wg if g is not None else 0.0)
+
+    def split(gdata):
+        return SplitArrays(
+            windows=rng.standard_normal((m, t, d)).astype(np.float32),
+            labels_emo=(np.arange(m) % 4).astype(np.int32),
+            labels_gen=(np.arange(m) % 2).astype(np.int32),
+            lengths=np.full(m, t, np.int32),
+            global_data=gdata,
+            speaker_ids=np.asarray([f"s{i}" for i in range(m)], object),
+            datasets=np.asarray(["x"] * m, object),
+            utt_ids=np.asarray([f"u{i}" for i in range(m)], object),
+        )
+
+    g1 = rng.standard_normal((m, 88)).astype(np.float32)
+    test1, test2 = split(g1), split(g1 * 50.0)
+    # identical windows; only the globals differ between the two splits
+    test2.windows[:] = test1.windows
+
+    kw = dict(win_len=win, shift_len=win // 2, batch_size=4, use_global=True)
+    noise = lambda wins, mask, key: wins  # identity cloak: isolate the globals
+    b1, _ = evaluate_cloaked_test(noise, logits, lambda w_, g: logits(w_, g)[:, :2],
+                                  test1, None, **kw)
+    b2, _ = evaluate_cloaked_test(noise, logits, lambda w_, g: logits(w_, g)[:, :2],
+                                  test2, None, **kw)
+    # scaled globals must move the vote; identical call twice must not
+    b1b, _ = evaluate_cloaked_test(noise, logits,
+                                   lambda w_, g: logits(w_, g)[:, :2],
+                                   test1, None, **kw)
+    assert b1["acc"] == b1b["acc"] and b1["rec"] == b1b["rec"]
+    np.testing.assert_array_equal(b1["conf"], b1b["conf"])
+    assert not np.array_equal(b1["conf"], b2["conf"])
