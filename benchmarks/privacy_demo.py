@@ -47,6 +47,11 @@ Writes benchmarks/privacy_demo.json (one block per mode) +
 benchmarks/privacy_sweep_<mode>.csv.  Run time: ~100 min per mode on one
 chip (5 folds x 7 trainings + sweep); select with --mode
 (both|extended|reference), default both.
+
+``--smoke`` dry-runs the identical CLI chain at toy scale (tiny corpus /
+epochs / 2 ratios, artifacts under /tmp/privacy_demo_smoke, nothing in
+benchmarks/ touched) — the pre-flight for the real on-chip run, and
+CPU-feasible (JAX_PLATFORMS=cpu) since the host loop is used off-chip.
 """
 
 import argparse
@@ -74,12 +79,13 @@ MODE_ARGS = {
 }
 
 
-def run_mode(mode, base, out):
+def run_mode(mode, base, out, ratios=RATIOS, cloak_epochs=60, sweep_dir=HERE):
     from sept_tpu.cli import evaluate, train_cloak
 
     knobs = MODE_ARGS[mode]
     cloak_args = [
-        "--grl", "1", "--scale_lamda", "1.0", "--num_epochs", "60",
+        "--grl", "1", "--scale_lamda", "1.0",
+        "--num_epochs", str(cloak_epochs),
         "--optimizer", "adam", "--learning_rate", "1e-2",
         "--grl_lambda", "1.0", "--gender_lambda", "1.0",
         # the sigma map needs the full epoch budget to differentiate;
@@ -87,7 +93,7 @@ def run_mode(mode, base, out):
         # short on some folds and collapses the suppression masks
         "--early_stop_patience", "100",
     ] + knobs
-    for ratio in RATIOS:
+    for ratio in ratios:
         print(f"== [{mode}] cloak+GRL suppression {ratio} (5 folds) ==",
               flush=True)
         train_cloak.main(
@@ -98,7 +104,8 @@ def run_mode(mode, base, out):
     # the sweep resolves cloak artifacts by name, which encodes the training
     # extensions (cli.train_cloak.cloak_artifact) — pass the same knobs
     evaluate.main(base + ["--grl", "1", "--scale_lamda", "1.0",
-                          "--grl_lambda", "1.0", "--gender_lambda", "1.0"]
+                          "--grl_lambda", "1.0", "--gender_lambda", "1.0",
+                          "--ratios"] + [str(r) for r in ratios]
                   + knobs)
 
     sweep_csv = os.path.join(out, "grl-1.0.csv")
@@ -115,7 +122,7 @@ def run_mode(mode, base, out):
             }
     # keep this mode's CSV before the other mode's sweep overwrites it
     with open(sweep_csv) as src, open(
-        os.path.join(HERE, f"privacy_sweep_{mode}.csv"), "w"
+        os.path.join(sweep_dir, f"privacy_sweep_{mode}.csv"), "w"
     ) as dst:
         dst.write(src.read())
     return rows
@@ -125,34 +132,53 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("both", "extended", "reference"),
                     default="both")
-    mode_arg = ap.parse_args().mode
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny-scale end-to-end dry run (CPU-feasible): "
+                    "exercises the full CLI chain, CSV parsing, and JSON "
+                    "assembly without touching the committed artifacts; "
+                    "numbers are meaningless at this scale")
+    args_ns = ap.parse_args()
+    mode_arg, smoke = args_ns.mode, args_ns.smoke
     modes = ["reference", "extended"] if mode_arg == "both" else [mode_arg]
 
     from sept_tpu.cli import featurize, preprocess, train_baseline
 
-    work, out = "/tmp/privacy_demo/work", "/tmp/privacy_demo/results"
+    root = "/tmp/privacy_demo_smoke" if smoke else "/tmp/privacy_demo"
+    work, out = os.path.join(root, "work"), os.path.join(root, "results")
     os.makedirs(work, exist_ok=True)
+    # smoke artifacts stay out of benchmarks/ (never clobber the real JSON)
+    sweep_dir = root if smoke else HERE
+    ratios = [0, 40] if smoke else RATIOS
+    if smoke:
+        corpus_args = ["--n_speakers", "10", "--utts_per_speaker", "4"]
+        base_shape = ["--win_len", "50", "--input_spec_size", "32",
+                      "--hidden_size", "8", "--batch_size", "8"]
+        baseline_epochs, cloak_epochs = 3, 3
+    else:
+        corpus_args = ["--n_speakers", "20", "--utts_per_speaker", "16"]
+        base_shape = ["--win_len", "150", "--input_spec_size", "96",
+                      "--hidden_size", "32", "--batch_size", "32"]
+        baseline_epochs, cloak_epochs = 25, 60
 
     base = [
         "--dataset", "synthetic_hard", "--work_dir", work, "--output_dir", out,
-        "--win_len", "150", "--input_spec_size", "96",
-        "--hidden_size", "32", "--batch_size", "32", "--seed", "8",
-    ]
+    ] + base_shape + ["--seed", "8"]
 
     print("== featurize ==", flush=True)
     # --functionals 0: the demo trains with global_feature=0, so skip the
     # gemaps/emobase extraction (each bucket shape costs a minutes-long
     # compile over the tunneled chip)
-    featurize.main(base + ["--n_speakers", "20", "--utts_per_speaker", "16",
-                           "--functionals", "0"])
+    featurize.main(base + corpus_args + ["--functionals", "0"])
     print("== preprocess (5 folds) ==", flush=True)
     preprocess.main(base)
     print("== SER baseline (5 folds) ==", flush=True)
-    train_baseline.main(base + ["--pred", "emotion", "--num_epochs", "25",
+    train_baseline.main(base + ["--pred", "emotion",
+                                "--num_epochs", str(baseline_epochs),
                                 "--learning_rate", "2e-3", "--resume"])
     print("== gender adversary (5 folds) ==", flush=True)
     train_baseline.main(base + ["--pred", "gender", "--adv", "1",
-                                "--num_epochs", "25", "--learning_rate", "2e-3",
+                                "--num_epochs", str(baseline_epochs),
+                                "--learning_rate", "2e-3",
                                 "--resume"])
 
     # clean = the frozen models on UN-noised features (per-fold manifests)
@@ -171,7 +197,7 @@ def main():
     }
 
     # preserve blocks from a previous run when only one mode is re-measured
-    demo_path = os.path.join(HERE, "privacy_demo.json")
+    demo_path = os.path.join(sweep_dir, "privacy_demo.json")
     result = {}
     if os.path.exists(demo_path):
         with open(demo_path) as f:
@@ -193,9 +219,10 @@ def main():
     })
 
     for mode in modes:
-        rows = run_mode(mode, base, out)
+        rows = run_mode(mode, base, out, ratios=ratios,
+                        cloak_epochs=cloak_epochs, sweep_dir=sweep_dir)
         best_ratio = min(
-            (r for r in RATIOS if r > 0), key=lambda r: rows[r]["adversary_uar"]
+            (r for r in ratios if r > 0), key=lambda r: rows[r]["adversary_uar"]
         )
         result[f"{mode}_mode"] = {
             "trainer": ("reference-faithful: single-draw sigma gradients, "
@@ -203,7 +230,7 @@ def main():
                         "364-371)" if mode == "reference" else
                         "framework extensions: antithetic + saliency_align "
                         "5.0 + eval-direction ratio-matched masks"),
-            "sweep": {f"ratio_{r}": rows[r] for r in RATIOS},
+            "sweep": {f"ratio_{r}": rows[r] for r in ratios},
             "best_privacy_point": {
                 "ratio": best_ratio,
                 "adversary_uar": rows[best_ratio]["adversary_uar"],
@@ -212,7 +239,7 @@ def main():
                     rows[best_ratio]["emotion_uar"] / clean["emotion_uar"],
             },
             "privacy_gain_uar": clean["adversary_uar"]
-            - min(rows[r]["adversary_uar"] for r in RATIOS if r > 0),
+            - min(rows[r]["adversary_uar"] for r in ratios if r > 0),
         }
         with open(demo_path, "w") as f:
             json.dump(result, f, indent=2)
