@@ -16,8 +16,17 @@ training epoch is HBM-bandwidth-bound on the v5e chip:
 
 Run on the chip:  python benchmarks/roofline.py
 Prints one JSON line per mode (f32/xla, bf16/xla, bf16/fused1).
+
+``--batches 32 64 128`` additionally sweeps the production mode
+(bf16/fused1) over batch sizes at a fixed total utterance count — the
+VERDICT-r2 headroom probe: if per-utterance time drops at batch 64/128,
+the 32-batch epoch is paying per-step overhead (dispatch, layout
+transitions) rather than sitting on the bandwidth floor; if it is flat,
+bytes/utt rule and the batch knob is closed.  Each extra batch size costs
+one fresh compile (minutes over a cold tunnel) — budget accordingly.
 """
 
+import argparse
 import json
 import time
 
@@ -31,6 +40,11 @@ WIN, D, BATCH, N_BATCHES = 200, 128, 32, 64
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="*", default=[],
+                    help="extra batch sizes to sweep in bf16/fused1 mode "
+                    "(total utterances held at 64*32=2048)")
+    batch_sweep = ap.parse_args().batches
     from sept_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
@@ -46,17 +60,7 @@ def main():
         make_optimizer,
     )
 
-    cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-4,
-                           hidden_size=64, batch_size=BATCH)
-    tx = make_optimizer(cfg, steps_per_epoch=N_BATCHES)
-    dummy = {
-        "spec": jnp.zeros((BATCH, WIN, D, 1), jnp.float32),
-        "labels_emo": jnp.zeros((BATCH,), jnp.int32),
-        "labels_gen": jnp.zeros((BATCH,), jnp.int32),
-        "global": jnp.zeros((BATCH, 88), jnp.float32),
-        "weight": jnp.ones((BATCH,), jnp.float32),
-    }
-    m_total = N_BATCHES * BATCH
+    m_total = N_BATCHES * BATCH  # held fixed across the batch sweep
     windows = jnp.asarray(
         np.random.default_rng(8).standard_normal((m_total, WIN, D)),
         jnp.float32)
@@ -64,12 +68,18 @@ def main():
     weights = jnp.ones(m_total)
     order = jnp.asarray(np.random.default_rng(0).permutation(m_total))
 
-    modes = [
-        ("f32_xla", dict()),
-        ("bf16_xla", dict(dtype=jnp.bfloat16)),
-        ("bf16_fused1", dict(dtype=jnp.bfloat16, conv_backend="fused1")),
-    ]
-    for name, kw in modes:
+    def measure(name, kw, batch):
+        n_batches = m_total // batch
+        cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-4,
+                               hidden_size=64, batch_size=batch)
+        tx = make_optimizer(cfg, steps_per_epoch=n_batches)
+        dummy = {
+            "spec": jnp.zeros((batch, WIN, D, 1), jnp.float32),
+            "labels_emo": jnp.zeros((batch,), jnp.int32),
+            "labels_gen": jnp.zeros((batch,), jnp.int32),
+            "global": jnp.zeros((batch, 88), jnp.float32),
+            "weight": jnp.ones((batch,), jnp.float32),
+        }
         model = Conv2dBiRNN(hidden_size=64, pred="emotion", **kw)
         state = init_state(model, tx, jax.random.PRNGKey(8), dummy)
 
@@ -82,24 +92,26 @@ def main():
         # measured epoch time (min of 3, warm)
         run = make_epoch_runner(model, tx)
         out = run(state, windows, labels, weights, order,
-                  n_batches=N_BATCHES, batch_size=BATCH)
+                  n_batches=n_batches, batch_size=batch)
         jax.block_until_ready(out[0].params)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             out = run(state, windows, labels, weights, order,
-                      n_batches=N_BATCHES, batch_size=BATCH)
+                      n_batches=n_batches, batch_size=batch)
             jax.block_until_ready(out[0].params)
             best = min(best, time.perf_counter() - t0)
-        t_step = best / N_BATCHES
+        t_step = best / n_batches
 
         peak = V5E_F32_PEAK if name.startswith("f32") else V5E_BF16_PEAK
         t_bw = byts / V5E_HBM_BW if byts else None
         t_mxu = flops / peak if flops else None
         print(json.dumps({
             "mode": name,
+            "batch": batch,
             "step_ms": round(t_step * 1e3, 3),
             "epoch_s": round(best, 3),
+            "us_per_utt": round(best / m_total * 1e6, 1),
             "flops_per_step": flops,
             "bytes_per_step": byts,
             "arith_intensity_flop_per_byte": (
@@ -113,7 +125,19 @@ def main():
                 round(100 * t_mxu / t_step, 1) if t_mxu else None),
             "effective_gbps": (
                 round(byts / t_step / 1e9, 1) if byts else None),
-        }))
+        }), flush=True)
+
+    modes = [
+        ("f32_xla", dict()),
+        ("bf16_xla", dict(dtype=jnp.bfloat16)),
+        ("bf16_fused1", dict(dtype=jnp.bfloat16, conv_backend="fused1")),
+    ]
+    for name, kw in modes:
+        measure(name, kw, BATCH)
+    for b in batch_sweep:
+        if b != BATCH and m_total % b == 0:
+            measure("bf16_fused1", dict(dtype=jnp.bfloat16,
+                                        conv_backend="fused1"), b)
 
 
 if __name__ == "__main__":
