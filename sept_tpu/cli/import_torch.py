@@ -1,0 +1,111 @@
+"""Import a trained reference checkpoint (``model.pt``) as a framework artifact.
+
+The reference's training outputs are torch state_dicts
+(training_adversary_baselines.py:504, training_cloak.py:461).  This entry
+point converts one into our Orbax artifact layout so the rest of the
+framework (evaluation sweep, serving, cloak training ``--resume``)
+consumes it directly — a migrating user keeps their trained models.
+
+Typical migration (artifact names must match what the consumers resolve,
+cli/train_baseline.py::artifact_name and cli/train_cloak.py::cloak_artifact):
+
+    # the SER baseline and the gender adversary for fold 1
+    python -m sept_tpu.cli.import_torch --checkpoint .../emotion/model.pt \
+        --output_dir out --artifact baseline_emotion --fold 1 --pred emotion
+    python -m sept_tpu.cli.import_torch --checkpoint .../gender/model.pt \
+        --output_dir out --artifact adv_baseline_gender --fold 1 --pred gender
+    # a trained cloak (wrapper state_dict; noise + frozen backbone [+ GRL
+    # gender branch] are detected and mapped automatically)
+    python -m sept_tpu.cli.import_torch --checkpoint .../cloak/model.pt \
+        --output_dir out --artifact cloak_grl_lamda1.0_supp0 --fold 1
+
+    # then e.g. the utility/privacy sweep over the imported artifacts:
+    python -m sept_tpu.cli.evaluate --dataset iemocap --grl 1 ...
+
+Forward parity of the mapping is oracle-tested against the reference
+modules themselves (tests/test_torch_oracle.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    p.add_argument("--checkpoint", required=True,
+                   help="path to a reference model.pt state_dict")
+    p.add_argument("--output_dir", required=True,
+                   help="framework artifact root (the consumers' --output_dir)")
+    p.add_argument("--artifact", required=True,
+                   help="artifact name to write (e.g. baseline_emotion, "
+                   "adv_baseline_gender, cloak_grl_lamda1.0_supp0)")
+    p.add_argument("--fold", type=int, default=1)
+    p.add_argument("--pred", choices=("emotion", "gender", "multitask"),
+                   default="emotion",
+                   help="head(s) the model was trained with (bare backbones; "
+                   "cloak wrappers always map emotion [+ gender branch])")
+    p.add_argument("--att", choices=("none", "self_att"), default="none")
+    p.add_argument("--rnn_cell", choices=("gru", "lstm"), default="gru",
+                   help="lstm for the deep_two_d_cnn_lstm_tmp variant")
+    args = p.parse_args(argv)
+
+    # honor JAX_PLATFORMS=cpu before any backend use (this import needs no
+    # accelerator; see cli.common.setup_seed for why the env var alone is
+    # not enough under a registered accelerator plugin)
+    import os
+
+    platforms = [q.strip() for q in
+                 os.environ.get("JAX_PLATFORMS", "").split(",") if q.strip()]
+    if platforms and platforms[0] == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from sept_tpu.compat import (
+        import_backbone,
+        import_cloak_noise,
+        load_torch_checkpoint,
+        split_reference_state_dict,
+    )
+    from sept_tpu.train.checkpoint import CheckpointManager
+
+    att = None if args.att == "none" else args.att
+    sd = load_torch_checkpoint(args.checkpoint)
+    backbone_sd, cloak_sd, gender_sd = split_reference_state_dict(sd)
+
+    bb = import_backbone(backbone_sd, pred=args.pred, att=att,
+                         rnn_cell=args.rnn_cell)
+    if cloak_sd is None:
+        kind = "backbone"
+        params, stats = bb["params"], bb["batch_stats"]
+    elif gender_sd is None:
+        kind = "cloak"
+        params = {"noise": import_cloak_noise(cloak_sd),
+                  "backbone": bb["params"]}
+        stats = {"backbone": bb["batch_stats"]}
+    else:
+        kind = "cloak_grl"
+        gb = import_backbone(gender_sd, pred="gender", att=att,
+                             rnn_cell=args.rnn_cell)
+        params = {"noise": import_cloak_noise(cloak_sd),
+                  "emotion_backbone": bb["params"],
+                  "gender_backbone": gb["params"]}
+        stats = {"emotion_backbone": bb["batch_stats"],
+                 "gender_backbone": gb["batch_stats"]}
+
+    ckpt = CheckpointManager(args.output_dir)
+    path = ckpt.save(args.artifact, args.fold, params, stats, manifest={
+        "imported_from": args.checkpoint,
+        "source_format": f"reference torch state_dict ({kind})",
+        "pred": args.pred, "att": args.att, "rnn_cell": args.rnn_cell,
+    })
+    print(f"imported {kind} -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
