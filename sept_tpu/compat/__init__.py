@@ -10,6 +10,8 @@ openSMILE feature import (data/opensmile_import.py).
 """
 
 from sept_tpu.compat.torch_import import (
+    export_backbone,
+    export_cloak_noise,
     import_backbone,
     import_cloak_noise,
     load_torch_checkpoint,
@@ -17,6 +19,8 @@ from sept_tpu.compat.torch_import import (
 )
 
 __all__ = [
+    "export_backbone",
+    "export_cloak_noise",
     "import_backbone",
     "import_cloak_noise",
     "load_torch_checkpoint",

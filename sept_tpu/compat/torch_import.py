@@ -60,6 +60,8 @@ __all__ = [
     "split_reference_state_dict",
     "import_backbone",
     "import_cloak_noise",
+    "export_backbone",
+    "export_cloak_noise",
 ]
 
 # reference nn.Sequential indices of Conv2d / BatchNorm2d per block
@@ -231,3 +233,123 @@ def _map_leaves(fn, tree):
     if isinstance(tree, dict):
         return {k: _map_leaves(fn, v) for k, v in tree.items()}
     return fn(tree)
+
+
+# ---------------------------------------------------------------------------
+# Export: framework artifact -> reference state_dict
+# ---------------------------------------------------------------------------
+
+def _gru_layer_out(cell: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flax GRUCell params -> one direction of a torch nn.GRU layer.
+
+    Inverse of :func:`_gru_layer`.  The combined r/z bias goes wholly into
+    ``bias_ih`` (with zero ``bias_hh``) — torch only ever uses their sum
+    for r and z, so the split is free; the n-gate biases are separable and
+    round-trip exactly."""
+    k = lambda n: np.asarray(cell[n]["kernel"]).T  # noqa: E731
+    h = k("hr").shape[0]
+    return {
+        "weight_ih": np.concatenate([k("ir"), k("iz"), k("in")], axis=0),
+        "weight_hh": np.concatenate([k("hr"), k("hz"), k("hn")], axis=0),
+        "bias_ih": np.concatenate([
+            np.asarray(cell["ir"]["bias"]), np.asarray(cell["iz"]["bias"]),
+            np.asarray(cell["in"]["bias"])]),
+        "bias_hh": np.concatenate([
+            np.zeros(h, np.float32), np.zeros(h, np.float32),
+            np.asarray(cell["hn"]["bias"])]),
+    }
+
+
+def _lstm_layer_out(cell: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flax OptimizedLSTMCell params -> torch nn.LSTM direction (i,f,g,o)."""
+    k = lambda n: np.asarray(cell[n]["kernel"]).T  # noqa: E731
+    h = k("hi").shape[0]
+    return {
+        "weight_ih": np.concatenate([k("ii"), k("if"), k("ig"), k("io")], 0),
+        "weight_hh": np.concatenate([k("hi"), k("hf"), k("hg"), k("ho")], 0),
+        "bias_ih": np.zeros(4 * h, np.float32),
+        "bias_hh": np.concatenate([
+            np.asarray(cell[f"h{g}"]["bias"]) for g in "ifgo"]),
+    }
+
+
+def export_backbone(
+    variables: Dict[str, Any],
+    *,
+    rnn_cell: str = "gru",
+    attention_size: int = 256,
+) -> Dict[str, np.ndarray]:
+    """Framework ``{"params", "batch_stats"}`` -> reference state_dict.
+
+    Inverse of :func:`import_backbone`: the result strict-loads into the
+    matching reference constructor (``two_d_cnn_lstm`` /
+    ``deep_two_d_cnn_lstm[_tmp]``) and reproduces our forward.  Reference
+    models declare several DEAD tensors our modules never had (``dense2``,
+    ``att_mat1/att_mat2``, the unused prediction head, and ``att_linear*``
+    when trained without attention); those are synthesized at their
+    reference init shapes (``attention_size`` sizes them, reference default
+    256) so strict ``load_state_dict`` accepts the export.
+    """
+    p, s = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+    n_blocks = sum(1 for k in p if re.fullmatch(r"conv\d", k))
+    for b in range(n_blocks):
+        sd[f"conv.{_CONV_IDX[b]}.weight"] = np.transpose(
+            np.asarray(p[f"conv{b}"]["kernel"]), (3, 2, 0, 1))
+        sd[f"conv.{_CONV_IDX[b]}.bias"] = np.asarray(p[f"conv{b}"]["bias"])
+        i = _BN_IDX[b]
+        sd[f"conv.{i}.weight"] = np.asarray(p[f"bn{b}"]["scale"])
+        sd[f"conv.{i}.bias"] = np.asarray(p[f"bn{b}"]["bias"])
+        sd[f"conv.{i}.running_mean"] = np.asarray(s[f"bn{b}"]["mean"])
+        sd[f"conv.{i}.running_var"] = np.asarray(s[f"bn{b}"]["var"])
+        sd[f"conv.{i}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    per_dir = _gru_layer_out if rnn_cell == "gru" else _lstm_layer_out
+    cells = p["rnn"]
+    order = sorted(cells, key=lambda k: int(k.rsplit("_", 1)[1]))
+    for layer in range(len(order) // 2):
+        for j, suf in ((0, ""), (1, "_reverse")):
+            d = per_dir(cells[order[2 * layer + j]])
+            for name, v in d.items():
+                sd[f"rnn.{name}_l{layer}{suf}"] = v
+
+    heads = p["heads"]
+    hidden2 = np.asarray(cells[order[0]]["hr" if rnn_cell == "gru"
+                                         else "hi"]["kernel"]).shape[0] * 2
+
+    def put_dense(ref_name, ours):
+        if ours is not None:
+            sd[f"{ref_name}.weight"] = np.asarray(ours["kernel"]).T
+            sd[f"{ref_name}.bias"] = np.asarray(ours["bias"])
+
+    put_dense("dense1", heads["dense1"])
+    put_dense("pred_emotion_layer", heads.get("pred_emotion"))
+    put_dense("pred_gender_layer", heads.get("pred_gender"))
+    # dead reference tensors (never touched by forward) at init shapes
+    if "pred_emotion_layer.weight" not in sd:
+        sd["pred_emotion_layer.weight"] = np.zeros((4, 128), np.float32)
+        sd["pred_emotion_layer.bias"] = np.zeros(4, np.float32)
+    if "pred_gender_layer.weight" not in sd:
+        sd["pred_gender_layer.weight"] = np.zeros((2, 128), np.float32)
+        sd["pred_gender_layer.bias"] = np.zeros(2, np.float32)
+    sd["dense2.weight"] = np.zeros((64, 128), np.float32)
+    sd["dense2.bias"] = np.zeros(64, np.float32)
+    if "att_pool" in p:
+        a1 = np.asarray(p["att_pool"]["att_linear1"]["kernel"]).T
+        a2 = np.asarray(p["att_pool"]["att_linear2"]["kernel"]).T
+        attention_size = a1.shape[0]
+    else:
+        a1 = np.zeros((attention_size, hidden2), np.float32)
+        a2 = np.zeros((16, attention_size), np.float32)
+    sd["att_linear1.weight"] = a1
+    sd["att_linear2.weight"] = a2
+    sd["att_mat1"] = np.zeros((attention_size, hidden2), np.float32)
+    sd["att_mat2"] = np.zeros((16, attention_size), np.float32)
+    return _map_leaves(lambda t: np.asarray(t), sd)
+
+
+def export_cloak_noise(noise_params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """CloakNoise params -> reference ``cloak_noise`` tensors (adds the
+    reference's broadcast batch dim back, cloak_models.py:29-33)."""
+    return {"locs": np.asarray(noise_params["locs"], np.float32)[None],
+            "rhos": np.asarray(noise_params["rhos"], np.float32)[None]}

@@ -219,3 +219,39 @@ def test_grl_wrapper_split_and_gender_branch_parity(refmod):
         rngs={"noise": jax.random.PRNGKey(0)})
     assert e_log.shape == (2, 4) and g_log.shape == (2, 2)
     assert noisy.shape == (2, 48, 32, 1)
+
+
+def test_export_roundtrip_parity(refmod):
+    """Our model -> export_backbone -> strict-load into the reference
+    constructor -> identical forward (the reverse migration direction)."""
+    baseline_models, _ = refmod
+    from sept_tpu.compat import export_backbone
+    from sept_tpu.models import Conv2dBiRNN
+
+    m = Conv2dBiRNN(hidden_size=8, pred="multitask")
+    x_np = np.random.default_rng(5).standard_normal(
+        (2, 48, 32, 1)).astype(np.float32)
+    x_j = jnp.asarray(x_np)
+    v = m.init({"params": jax.random.PRNGKey(7)}, x_j)
+    # move BN running stats off init so the export carries real statistics
+    _, upd = m.apply(v, x_j, train=True, mutable=["batch_stats"],
+                     rngs={"dropout": jax.random.PRNGKey(8)})
+    v = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+    want_emo, want_gen = (np.asarray(t) for t in m.apply(v, x_j))
+
+    sd = export_backbone({
+        "params": jax.tree.map(np.asarray, v["params"]),
+        "batch_stats": jax.tree.map(np.asarray, v["batch_stats"]),
+    })
+    ref = baseline_models.two_d_cnn_lstm(
+        input_channel=1, input_spec_size=32, cnn_filter_size=64,
+        lstm_hidden_size=8, pred="multitask", global_feature=0, att=None)
+    ref.load_state_dict(  # strict: every reference tensor must be present
+        {k: torch.from_numpy(np.asarray(t)) for k, t in sd.items()})
+    ref.eval()
+    with torch.no_grad():
+        got_emo, got_gen = (
+            t.numpy()
+            for t in ref(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2)))))
+    np.testing.assert_allclose(got_emo, want_emo, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_gen, want_gen, rtol=1e-4, atol=1e-5)
