@@ -110,6 +110,29 @@ def test_import_grl_cloak_cli_roundtrip(tmp_path):
     assert got["batch_stats"]["gender_backbone"]["bn0"]["mean"].shape == (32,)
 
 
+def test_import_export_roundtrip_preserves_live_tensors():
+    """export(import(sd)) reproduces every live tensor; the GRU r/z bias
+    pair is a gauge (only the sum enters the recurrence) and must be
+    sum-preserved."""
+    from sept_tpu.compat import export_backbone, import_backbone
+
+    sd = {k: v.numpy() for k, v in _bare_backbone_sd().items()}
+    back = export_backbone(import_backbone(sd, pred="multitask"))
+    dead = {"dense2.weight", "dense2.bias", "att_linear1.weight",
+            "att_linear2.weight", "att_mat1", "att_mat2"}
+    for k, v in sd.items():
+        if k in dead or k.endswith("num_batches_tracked"):
+            continue
+        if "bias_ih" in k or "bias_hh" in k:
+            continue  # checked as sums below
+        np.testing.assert_array_equal(back[k], v, err_msg=k)
+    for layer in (0, 1):
+        for suf in ("", "_reverse"):
+            want = sd[f"rnn.bias_ih_l{layer}{suf}"] + sd[f"rnn.bias_hh_l{layer}{suf}"]
+            got = back[f"rnn.bias_ih_l{layer}{suf}"] + back[f"rnn.bias_hh_l{layer}{suf}"]
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_import_torch_help_exits_zero(capsys):
     from sept_tpu.cli import import_torch
 
@@ -117,3 +140,12 @@ def test_import_torch_help_exits_zero(capsys):
         import_torch.main(["--help"])
     assert e.value.code == 0
     assert "--checkpoint" in capsys.readouterr().out
+
+
+def test_export_torch_help_exits_zero(capsys):
+    from sept_tpu.cli import export_torch
+
+    with pytest.raises(SystemExit) as e:
+        export_torch.main(["--help"])
+    assert e.value.code == 0
+    assert "--artifact" in capsys.readouterr().out
