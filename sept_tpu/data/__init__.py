@@ -19,7 +19,7 @@ from sept_tpu.data.pipeline import (
     batch_iterator,
 )
 from sept_tpu.data.splits import SPEAKER_UNIVERSE, FoldPlan, plan_folds, speaker_ids_for
-from sept_tpu.data.synthetic import SyntheticCorpus, make_corpus
+from sept_tpu.data.synthetic import SyntheticCorpus, make_corpus, make_hard_corpus
 from sept_tpu.data.windowing import num_windows, pad_to, window_utterance
 
 __all__ = [
@@ -41,6 +41,7 @@ __all__ = [
     "batch_iterator",
     "featurize_corpus",
     "make_corpus",
+    "make_hard_corpus",
     "num_windows",
     "pad_to",
     "parse_crema_d_filename",
