@@ -138,6 +138,10 @@ def main():
         if b != BATCH and m_total % b == 0:
             measure("bf16_fused1", dict(dtype=jnp.bfloat16,
                                         conv_backend="fused1"), b)
+        else:
+            print(json.dumps({"mode": "bf16_fused1", "batch": b,
+                              "skipped": f"batch must divide {m_total} and "
+                              f"differ from the base {BATCH}"}), flush=True)
 
 
 if __name__ == "__main__":

@@ -10,4 +10,6 @@
 | training/adversary_cloak_evaluation.py    | sept_tpu.cli.evaluate          |
 | feature_extraction.sh + training_data_preprocess.sh | sept_tpu.cli.run_all |
 | (no reference counterpart: HTTP serving) | sept_tpu.cli.serve         |
+| (no reference counterpart: batch WAV inference) | sept_tpu.cli.predict |
+| model.pt checkpoints (both directions)   | sept_tpu.cli.import_torch / export_torch |
 """

@@ -10,7 +10,27 @@ import numpy as np
 from sept_tpu.train.config import ExperimentConfig
 
 __all__ = ["add_common_args", "config_from_args", "enable_compile_cache",
-           "resolve_mesh", "setup_seed"]
+           "pin_cpu_platform", "resolve_mesh", "setup_seed"]
+
+
+def pin_cpu_platform() -> None:
+    """Honor a JAX_PLATFORMS=cpu request BEFORE first backend use.
+
+    Environments whose sitecustomize registers an accelerator plugin pin
+    platform selection, so the env var alone is not enough — an explicit
+    config update is.  Only a leading 'cpu' forces CPU; a fallback list
+    like 'tpu,cpu' means prefer the accelerator."""
+    import os
+
+    platforms = [p.strip() for p in
+                 os.environ.get("JAX_PLATFORMS", "").split(",") if p.strip()]
+    if platforms and platforms[0] == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
 
 def enable_compile_cache(path: str | None = None) -> None:
@@ -87,17 +107,7 @@ def setup_seed(seed: int = 8, prng_impl: str | None = None) -> np.random.Generat
     from threefry, so it is an opt-in throughput knob, not the default."""
     import os
 
-    platforms = [p.strip() for p in
-                 os.environ.get("JAX_PLATFORMS", "").split(",") if p.strip()]
-    # only when cpu is the FIRST choice ('cpu' or 'cpu,...'): a fallback
-    # list like 'tpu,cpu' means prefer the accelerator, not force CPU
-    if platforms and platforms[0] == "cpu":
-        try:
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    pin_cpu_platform()
     if prng_impl:
         import jax
 

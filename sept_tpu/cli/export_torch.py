@@ -48,15 +48,9 @@ def main(argv=None):
                    "model was trained without attention (reference default)")
     args = p.parse_args(argv)
 
-    # no accelerator needed; honor JAX_PLATFORMS=cpu before backend use
-    import os
+    from sept_tpu.cli.common import pin_cpu_platform
 
-    platforms = [q.strip() for q in
-                 os.environ.get("JAX_PLATFORMS", "").split(",") if q.strip()]
-    if platforms and platforms[0] == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    pin_cpu_platform()  # no accelerator needed
 
     import numpy as np
     import torch

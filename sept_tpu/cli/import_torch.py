@@ -51,19 +51,19 @@ def main(argv=None):
     p.add_argument("--att", choices=("none", "self_att"), default="none")
     p.add_argument("--rnn_cell", choices=("gru", "lstm"), default="gru",
                    help="lstm for the deep_two_d_cnn_lstm_tmp variant")
+    p.add_argument("--win_len", type=int, default=200,
+                   help="window length the model was trained on (recorded "
+                   "in the manifest for predict/serve; cloak imports infer "
+                   "it from the noise tensors instead)")
     args = p.parse_args(argv)
 
-    # honor JAX_PLATFORMS=cpu before any backend use (this import needs no
-    # accelerator; see cli.common.setup_seed for why the env var alone is
-    # not enough under a registered accelerator plugin)
-    import os
+    import json
 
-    platforms = [q.strip() for q in
-                 os.environ.get("JAX_PLATFORMS", "").split(",") if q.strip()]
-    if platforms and platforms[0] == "cpu":
-        import jax
+    import numpy as np
 
-        jax.config.update("jax_platforms", "cpu")
+    from sept_tpu.cli.common import pin_cpu_platform
+
+    pin_cpu_platform()  # this import needs no accelerator
 
     from sept_tpu.compat import (
         import_backbone,
@@ -97,13 +97,41 @@ def main(argv=None):
         stats = {"emotion_backbone": bb["batch_stats"],
                  "gender_backbone": gb["batch_stats"]}
 
+    # architecture knobs, inferred from the tensors themselves, stored under
+    # "config" — the key predict/serve read (serve.py::load_predictor), so
+    # imported artifacts build the RIGHT model without flag re-entry
+    hidden = int(backbone_sd["rnn.weight_hh_l0"].shape[1])
+    feature_len = int(backbone_sd["rnn.weight_ih_l0"].shape[1]) * 8 // 128
+    deep = "conv.15.weight" in backbone_sd
+    model_type = "deep-2d-cnn-lstm" if deep else "2d-cnn-lstm"
+    dense1_in = int(backbone_sd["dense1.weight"].shape[1])
+    # reference dense1 in-features: pooled width (2H, or 2H*25 flattened for
+    # the deep model) + 88 iff built with global_feature=1
+    pooled = 2 * hidden * (25 if deep else 1)
+    win_len = args.win_len
+    if cloak_sd is not None:
+        win_len = int(np.asarray(cloak_sd["locs"]).shape[-2])
+    config = {
+        "model_type": model_type,
+        "pred": args.pred if cloak_sd is None else "emotion",
+        "hidden_size": hidden,
+        "feature_len": feature_len,
+        "win_len": win_len,
+        "att": att,
+        "attention_size": (int(backbone_sd["att_linear1.weight"].shape[0])
+                           if att else 128),
+        "rnn_cell": args.rnn_cell,
+        "global_feature": dense1_in == pooled + 88,
+    }
+
     ckpt = CheckpointManager(args.output_dir)
     path = ckpt.save(args.artifact, args.fold, params, stats, manifest={
         "imported_from": args.checkpoint,
         "source_format": f"reference torch state_dict ({kind})",
-        "pred": args.pred, "att": args.att, "rnn_cell": args.rnn_cell,
+        "config": config,
     })
-    print(f"imported {kind} -> {path}")
+    print(f"imported {kind} -> {path} "
+          f"(config: {json.dumps(config)})")
     return 0
 
 

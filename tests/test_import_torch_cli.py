@@ -75,6 +75,19 @@ def test_import_backbone_cli_roundtrip(tmp_path):
     assert "dense2" not in p["heads"]
     assert s["bn2"]["var"].shape == (128,)
 
+    # the manifest carries the inferred architecture under "config" — the
+    # key predict/serve read (serve.py::load_predictor), so the imported
+    # artifact builds the right model without flag re-entry
+    import json
+
+    with open(tmp_path / "out" / "baseline_emotion"
+              / "manifest_fold2.json") as f:
+        cfg = json.load(f)["config"]
+    assert cfg["hidden_size"] == H
+    assert cfg["feature_len"] == D
+    assert cfg["model_type"] == "2d-cnn-lstm"
+    assert cfg["pred"] == "emotion" and cfg["global_feature"] is False
+
 
 def test_import_grl_cloak_cli_roundtrip(tmp_path):
     """Wrapper state_dict (intermed + original_model + GRL-nested gender)."""

@@ -221,6 +221,86 @@ def test_grl_wrapper_split_and_gender_branch_parity(refmod):
     assert noisy.shape == (2, 48, 32, 1)
 
 
+def test_export_cli_wrapper_artifacts_strict_load(refmod, tmp_path):
+    """The export CLI's cloak and cloak+GRL branches (intermed./
+    original_model./gender_model.conv.1. assembly) strict-load into the
+    reference wrapper constructors and preserve the frozen emotion branch.
+
+    Route: reference wrapper -> model.pt -> cli.import_torch ->
+    cli.export_torch -> load_state_dict(strict) into a FRESH wrapper ->
+    forward parity of its original_model against the source model."""
+    baseline_models, cloak_models = refmod
+    from sept_tpu.cli import export_torch, import_torch
+
+    def make(pred, seed):
+        torch.manual_seed(seed)
+        m = baseline_models.two_d_cnn_lstm(
+            input_channel=1, input_spec_size=32, cnn_filter_size=64,
+            lstm_hidden_size=8, pred=pred, global_feature=0, att=None)
+        warm_bn(m, (torch.randn(2, 1, 48, 32),))
+        return m
+
+    x_t = torch.randn(2, 1, 48, 32)
+    out = str(tmp_path / "out")
+
+    # --- non-GRL syn wrapper ---
+    emo = make("emotion", 10)
+    noise = cloak_models.cloak_noise(
+        torch.zeros(1, 48, 32), torch.ones(1, 48, 32), 0.01, 10, "cpu")
+    wrapper = cloak_models.two_d_cnn_lstm_syn(emo, noise)
+    pt = str(tmp_path / "syn.pt")
+    torch.save(wrapper.state_dict(), pt)
+    assert import_torch.main([
+        "--checkpoint", pt, "--output_dir", out,
+        "--artifact", "cloak_syn", "--fold", "1"]) == 0
+    back = str(tmp_path / "syn_back.pt")
+    assert export_torch.main([
+        "--output_dir", out, "--artifact", "cloak_syn", "--fold", "1",
+        "--out", back]) == 0
+    emo2 = make("emotion", 11)
+    fresh = cloak_models.two_d_cnn_lstm_syn(
+        emo2, cloak_models.cloak_noise(
+            torch.zeros(1, 48, 32), torch.ones(1, 48, 32), 0.01, 10, "cpu"))
+    fresh.load_state_dict(torch.load(back, weights_only=True))  # strict
+    fresh.eval()
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            fresh.original_model(x_t).numpy(), emo(x_t).numpy(),
+            rtol=1e-5, atol=1e-6)
+
+    # --- GRL wrapper (gender conv nested under Sequential(GRL, conv)) ---
+    emo_g, gen_g = make("emotion", 12), make("gender", 13)
+    wrapper_g = cloak_models.two_d_cnn_lstm_syn_with_grl(
+        emo_g, gen_g,
+        cloak_models.cloak_noise(
+            torch.zeros(1, 48, 32), torch.ones(1, 48, 32), 0.01, 10, "cpu"),
+        0.1)
+    pt_g = str(tmp_path / "grl.pt")
+    torch.save(wrapper_g.state_dict(), pt_g)
+    assert import_torch.main([
+        "--checkpoint", pt_g, "--output_dir", out,
+        "--artifact", "cloak_grl_test", "--fold", "1"]) == 0
+    back_g = str(tmp_path / "grl_back.pt")
+    assert export_torch.main([
+        "--output_dir", out, "--artifact", "cloak_grl_test", "--fold", "1",
+        "--out", back_g]) == 0
+    fresh_g = cloak_models.two_d_cnn_lstm_syn_with_grl(
+        make("emotion", 14), make("gender", 15),
+        cloak_models.cloak_noise(
+            torch.zeros(1, 48, 32), torch.ones(1, 48, 32), 0.01, 10, "cpu"),
+        0.1)
+    fresh_g.load_state_dict(torch.load(back_g, weights_only=True))  # strict
+    fresh_g.eval()
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            fresh_g.original_model(x_t).numpy(), emo_g(x_t).numpy(),
+            rtol=1e-5, atol=1e-6)
+        # the GRL-nested gender branch round-tripped too
+        np.testing.assert_allclose(
+            fresh_g.gender_model(x_t).numpy(), gen_g(x_t).numpy(),
+            rtol=1e-5, atol=1e-6)
+
+
 def test_export_roundtrip_parity(refmod):
     """Our model -> export_backbone -> strict-load into the reference
     constructor -> identical forward (the reverse migration direction)."""
