@@ -301,6 +301,67 @@ def test_export_cli_wrapper_artifacts_strict_load(refmod, tmp_path):
             rtol=1e-5, atol=1e-6)
 
 
+def test_imported_artifacts_drive_evaluation_sweep(refmod, tmp_path):
+    """The full migration promise: reference-trained checkpoints (baseline,
+    adversary, cloak+GRL wrapper) imported via cli.import_torch drive our
+    cli.evaluate utility/privacy sweep end to end and produce the reference
+    CSV schema with finite numbers."""
+    baseline_models, cloak_models = refmod
+    from sept_tpu.cli import evaluate, featurize, import_torch, preprocess
+
+    WINL, DD, HH = 48, 32, 8
+    work, out = str(tmp_path / "work"), str(tmp_path / "out")
+    base = ["--dataset", "synthetic", "--work_dir", work,
+            "--output_dir", out, "--win_len", str(WINL),
+            "--input_spec_size", str(DD), "--hidden_size", str(HH),
+            "--seed", "8"]
+    featurize.main(base + ["--n_speakers", "6", "--utts_per_speaker", "2",
+                           "--functionals", "0"])
+    preprocess.main(base + ["--folds", "1"])
+
+    def make(pred, seed):
+        torch.manual_seed(seed)
+        m = baseline_models.two_d_cnn_lstm(
+            input_channel=1, input_spec_size=DD, cnn_filter_size=64,
+            lstm_hidden_size=HH, pred=pred, global_feature=0, att=None)
+        warm_bn(m, (torch.randn(2, 1, WINL, DD),))
+        return m
+
+    emo, gen = make("emotion", 20), make("gender", 21)
+    torch.save(emo.state_dict(), str(tmp_path / "emo.pt"))
+    torch.save(gen.state_dict(), str(tmp_path / "gen.pt"))
+    wrapper = cloak_models.two_d_cnn_lstm_syn_with_grl(
+        emo, gen, cloak_models.cloak_noise(
+            torch.zeros(1, WINL, DD), torch.ones(1, WINL, DD),
+            0.01, 10, "cpu"), 0.1)
+    torch.save(wrapper.state_dict(), str(tmp_path / "cloak.pt"))
+
+    for ckpt_file, artifact, pred in (
+        ("emo.pt", "baseline_emotion", "emotion"),
+        ("gen.pt", "adv_baseline_gender", "gender"),
+        # the sweep loads a ratio-MATCHED cloak per ratio (cli/evaluate.py)
+        ("cloak.pt", "cloak_grl_lamda1.0_supp0", "emotion"),
+        ("cloak.pt", "cloak_grl_lamda1.0_supp40", "emotion"),
+    ):
+        assert import_torch.main([
+            "--checkpoint", str(tmp_path / ckpt_file), "--output_dir", out,
+            "--artifact", artifact, "--fold", "1", "--pred", pred]) == 0
+
+    evaluate.main(base + ["--grl", "1", "--scale_lamda", "1.0",
+                          "--ratios", "0", "40", "--folds", "1"])
+
+    import csv
+
+    with open(os.path.join(out, "grl-1.0.csv")) as f:
+        rows = {r[""]: r for r in csv.DictReader(f)}
+    assert set(rows) == {"suppression_ratio_0_synthetic",
+                         "suppression_ratio_40_synthetic"}
+    for r in rows.values():
+        for col in ("baseline_acc", "baseline_rec", "adv_acc", "adv_rec"):
+            v = float(r[col])
+            assert np.isfinite(v) and 0.0 <= v <= 1.0, (col, v)
+
+
 def test_export_roundtrip_parity(refmod):
     """Our model -> export_backbone -> strict-load into the reference
     constructor -> identical forward (the reverse migration direction)."""
