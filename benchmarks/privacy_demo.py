@@ -52,6 +52,13 @@ chip (5 folds x 7 trainings + sweep); select with --mode
 epochs / 2 ratios, artifacts under /tmp/privacy_demo_smoke, nothing in
 benchmarks/ touched) — the pre-flight for the real on-chip run, and
 CPU-feasible (JAX_PLATFORMS=cpu) since the host loop is used off-chip.
+
+``--preset half`` is the no-accelerator fallback: the same protocol at
+reduced scale (14x8 corpus, win 100, spec 64, hidden 16, epochs 15/30),
+CPU-feasible in hours, written to benchmarks/privacy_demo_half.json +
+privacy_sweep_<mode>_half.csv so it never masquerades as the full-scale
+result.  ``--folds 1 2`` restricts the protocol to a fold subset
+(recorded in the output).
 """
 
 import argparse
@@ -79,7 +86,8 @@ MODE_ARGS = {
 }
 
 
-def run_mode(mode, base, out, ratios=RATIOS, cloak_epochs=60, sweep_dir=HERE):
+def run_mode(mode, base, out, ratios=RATIOS, cloak_epochs=60, sweep_dir=HERE,
+             tag=""):
     from sept_tpu.cli import evaluate, train_cloak
 
     knobs = MODE_ARGS[mode]
@@ -122,7 +130,7 @@ def run_mode(mode, base, out, ratios=RATIOS, cloak_epochs=60, sweep_dir=HERE):
             }
     # keep this mode's CSV before the other mode's sweep overwrites it
     with open(sweep_csv) as src, open(
-        os.path.join(sweep_dir, f"privacy_sweep_{mode}.csv"), "w"
+        os.path.join(sweep_dir, f"privacy_sweep_{mode}{tag}.csv"), "w"
     ) as dst:
         dst.write(src.read())
     return rows
@@ -133,27 +141,44 @@ def main():
     ap.add_argument("--mode", choices=("both", "extended", "reference"),
                     default="both")
     ap.add_argument("--smoke", action="store_true",
-                    help="tiny-scale end-to-end dry run (CPU-feasible): "
-                    "exercises the full CLI chain, CSV parsing, and JSON "
-                    "assembly without touching the committed artifacts; "
-                    "numbers are meaningless at this scale")
+                    help="alias for --preset smoke")
+    ap.add_argument("--preset", choices=("full", "half", "smoke"),
+                    default="full",
+                    help="full: the committed benchmark scale (chip, ~100 "
+                    "min/mode). half: reduced scale, CPU-feasible in hours "
+                    "— clearly-labeled fallback evidence when no "
+                    "accelerator is reachable; writes privacy_demo_half.json"
+                    ", never the committed artifact. smoke: toy dry run.")
+    ap.add_argument("--folds", type=int, nargs="*", default=None,
+                    help="restrict to these folds (default: all 5); "
+                    "recorded in the output so partial runs are labeled")
     args_ns = ap.parse_args()
-    mode_arg, smoke = args_ns.mode, args_ns.smoke
+    mode_arg = args_ns.mode
+    preset = "smoke" if args_ns.smoke else args_ns.preset
     modes = ["reference", "extended"] if mode_arg == "both" else [mode_arg]
 
     from sept_tpu.cli import featurize, preprocess, train_baseline
 
-    root = "/tmp/privacy_demo_smoke" if smoke else "/tmp/privacy_demo"
+    root = {"full": "/tmp/privacy_demo",
+            "half": "/tmp/privacy_demo_half",
+            "smoke": "/tmp/privacy_demo_smoke"}[preset]
     work, out = os.path.join(root, "work"), os.path.join(root, "results")
     os.makedirs(work, exist_ok=True)
-    # smoke artifacts stay out of benchmarks/ (never clobber the real JSON)
-    sweep_dir = root if smoke else HERE
-    ratios = [0, 40] if smoke else RATIOS
-    if smoke:
+    # full + half write committed benchmarks/ artifacts (half under its own
+    # clearly-suffixed names); smoke stays in /tmp
+    sweep_dir = root if preset == "smoke" else HERE
+    tag = "_half" if preset == "half" else ""
+    ratios = [0, 40] if preset == "smoke" else RATIOS
+    if preset == "smoke":
         corpus_args = ["--n_speakers", "10", "--utts_per_speaker", "4"]
         base_shape = ["--win_len", "50", "--input_spec_size", "32",
                       "--hidden_size", "8", "--batch_size", "8"]
         baseline_epochs, cloak_epochs = 3, 3
+    elif preset == "half":
+        corpus_args = ["--n_speakers", "14", "--utts_per_speaker", "8"]
+        base_shape = ["--win_len", "100", "--input_spec_size", "64",
+                      "--hidden_size", "16", "--batch_size", "32"]
+        baseline_epochs, cloak_epochs = 15, 30
     else:
         corpus_args = ["--n_speakers", "20", "--utts_per_speaker", "16"]
         base_shape = ["--win_len", "150", "--input_spec_size", "96",
@@ -163,6 +188,8 @@ def main():
     base = [
         "--dataset", "synthetic_hard", "--work_dir", work, "--output_dir", out,
     ] + base_shape + ["--seed", "8"]
+    if args_ns.folds:
+        base += ["--folds"] + [str(k) for k in args_ns.folds]
 
     print("== featurize ==", flush=True)
     # --functionals 0: the demo trains with global_feature=0, so skip the
@@ -182,9 +209,11 @@ def main():
                                 "--resume"])
 
     # clean = the frozen models on UN-noised features (per-fold manifests)
+    fold_ids = args_ns.folds or list(range(1, 6))
+
     def mean_manifest(art, key):
         vals = []
-        for k in range(1, 6):
+        for k in fold_ids:
             path = os.path.join(out, art, f"manifest_fold{k}.json")
             vals.append(json.load(open(path))[key])
         return float(np.mean(vals))
@@ -197,7 +226,7 @@ def main():
     }
 
     # preserve blocks from a previous run when only one mode is re-measured
-    demo_path = os.path.join(sweep_dir, "privacy_demo.json")
+    demo_path = os.path.join(sweep_dir, f"privacy_demo{tag}.json")
     result = {}
     if os.path.exists(demo_path):
         with open(demo_path) as f:
@@ -213,14 +242,18 @@ def main():
             }
     result.update({
         "protocol": "adversary_cloak_evaluation.py:113-299 (ratio-matched "
-                    "cloaks, eval-direction sweep masks, 5 folds)",
-        "corpus": "synthetic_hard (make_hard_corpus: 20 speakers x 16 utts)",
+                    "cloaks, eval-direction sweep masks, "
+                    f"folds {fold_ids})",
+        "corpus": (f"synthetic_hard (make_hard_corpus: "
+                   f"{corpus_args[1]} speakers x {corpus_args[3]} utts)"),
+        "preset": preset,
         "clean": clean,
     })
 
     for mode in modes:
         rows = run_mode(mode, base, out, ratios=ratios,
-                        cloak_epochs=cloak_epochs, sweep_dir=sweep_dir)
+                        cloak_epochs=cloak_epochs, sweep_dir=sweep_dir,
+                        tag=tag)
         best_ratio = min(
             (r for r in ratios if r > 0), key=lambda r: rows[r]["adversary_uar"]
         )
