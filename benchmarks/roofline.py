@@ -17,6 +17,13 @@ training epoch is HBM-bandwidth-bound on the v5e chip:
 Run on the chip:  python benchmarks/roofline.py
 Prints one JSON line per mode (f32/xla, bf16/xla, bf16/fused1).
 
+``--analytic`` needs NO chip: it prints the same floors from a
+hand-counted bytes/FLOPs model of the step (documented inline) against
+the round-2 measured step times, so the roofline conclusion is
+reproducible arithmetic even when the hardware is away.  The on-chip
+run supersedes it (XLA's cost model sees the program as compiled —
+layout copies, fusion choices — which the hand count cannot).
+
 ``--batches 32 64 128`` additionally sweeps the production mode
 (bf16/fused1) over batch sizes at a fixed total utterance count — the
 VERDICT-r2 headroom probe: if per-utterance time drops at batch 64/128,
@@ -38,13 +45,88 @@ V5E_HBM_BW = 819e9       # bytes/s
 
 WIN, D, BATCH, N_BATCHES = 200, 128, 32, 64
 
+# Round-2 measured step times (ms; 64-step scanned epoch, batch 32, chip,
+# 2026-08-17 — see docs/ARCHITECTURE.md "Training-epoch anatomy").
+MEASURED_STEP_MS = {"f32_xla": 12.6, "bf16_xla": 9.29, "bf16_fused1": 6.79}
+
+
+def analytic():
+    """Hand-counted bytes/FLOPs floors vs the round-2 measured step times.
+
+    The byte model is deliberately a LOWER bound: every major activation
+    of Conv2dBiRNN (conv/pool outputs, RNN in/out) is charged 4 touches —
+    forward write, backward read, cotangent write, cotangent read —
+    i.e. each tensor crosses HBM exactly once per role, with perfect
+    fusion of everything elementwise.  Parameters (<1 M) are noise at
+    batch 32.  Layout copies, select-and-scatter scratch, and any
+    re-reads XLA actually emits come ON TOP of this floor, which is the
+    point: if the measured step already sits far above the floor, those
+    extras (not the pin rate, not the MXU) are what binds.
+    """
+    B = BATCH
+    acts = {  # forward activation element counts, standard 200x128 window
+        "input": B * 200 * 128,
+        "conv0": B * 200 * 128 * 32,
+        "pool0": B * 100 * 64 * 32,
+        "conv1": B * 100 * 64 * 64,
+        "pool1": B * 50 * 32 * 64,
+        "conv2": B * 50 * 32 * 128,
+        "pool2": B * 25 * 16 * 128,
+        "rnn_in": B * 25 * 2048,
+        "rnn_out": B * 25 * 128,
+    }
+    elems = sum(acts.values())  # 59.9 M elements
+
+    def conv_flops(kh, kw, cin, cout, oh, ow):
+        return kh * kw * cin * cout * oh * ow * 2 * B
+
+    def bigru_flops(d_in, h, t):
+        return 3 * (d_in * h + h * h) * 2 * t * 2 * B  # x2 directions
+
+    fwd = (conv_flops(5, 5, 1, 32, 200, 128)
+           + conv_flops(5, 5, 32, 64, 100, 64)
+           + conv_flops(5, 5, 64, 128, 50, 32)
+           + bigru_flops(2048, 64, 25) + bigru_flops(128, 64, 25)
+           + (128 * 128 + 128 * 4) * 2 * B)
+    train_flops = 3 * fwd  # fwd + dW + dx
+
+    for mode, t_ms in MEASURED_STEP_MS.items():
+        f32 = mode.startswith("f32")
+        byts = 4 * elems * (4 if f32 else 2)
+        peak = V5E_F32_PEAK if f32 else V5E_BF16_PEAK
+        t_bw = byts / V5E_HBM_BW
+        t_mxu = train_flops / peak
+        print(json.dumps({
+            "mode": mode,
+            "source": "analytic+round2-measured",
+            "batch": BATCH,
+            "step_ms_measured_r2": t_ms,
+            "flops_per_step": train_flops,
+            "bytes_per_step_floor": byts,
+            "arith_intensity_flop_per_byte": round(train_flops / byts, 1),
+            "ridge_flop_per_byte": round(peak / V5E_HBM_BW, 1),
+            "t_bw_floor_ms": round(t_bw * 1e3, 2),
+            "t_mxu_floor_ms": round(t_mxu * 1e3, 2),
+            "pct_of_hbm_peak": round(100 * t_bw / (t_ms / 1e3), 1),
+            "pct_of_mxu_peak": round(100 * t_mxu / (t_ms / 1e3), 1),
+            "effective_gbps_on_floor_bytes": round(
+                byts / (t_ms / 1e3) / 1e9, 1),
+        }), flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="*", default=[],
                     help="extra batch sizes to sweep in bf16/fused1 mode "
                     "(total utterances held at 64*32=2048)")
-    batch_sweep = ap.parse_args().batches
+    ap.add_argument("--analytic", action="store_true",
+                    help="print the hand-counted floors vs round-2 "
+                    "measured step times; needs no accelerator")
+    args = ap.parse_args()
+    if args.analytic:
+        analytic()
+        return
+    batch_sweep = args.batches
     from sept_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
@@ -131,6 +213,13 @@ def main():
         ("f32_xla", dict()),
         ("bf16_xla", dict(dtype=jnp.bfloat16)),
         ("bf16_fused1", dict(dtype=jnp.bfloat16, conv_backend="fused1")),
+        # the roofline's top remaining lever (ARCHITECTURE §2b′): at ~10%
+        # MXU occupancy, recomputing the encoder in the backward is nearly
+        # free in FLOP-time and deletes the fwd->bwd HBM round-trips of
+        # the two largest activations — measure whether XLA's actual
+        # lowering realizes that saving
+        ("bf16_fused1_remat", dict(dtype=jnp.bfloat16,
+                                   conv_backend="fused1", remat=True)),
     ]
     for name, kw in modes:
         measure(name, kw, BATCH)

@@ -168,6 +168,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "= the hand-fused Pallas kernel pair (bf16-only, "
                         "200x128 windows; 1.37x the XLA step), 'auto' picks "
                         "it whenever it applies")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize the encoder in the backward pass "
+                        "(jax.checkpoint): trades cheap recompute FLOPs for "
+                        "conv-activation HBM round-trips (2d-cnn-lstm "
+                        "family; see ARCHITECTURE.md roofline)")
     p.add_argument("--early_stop_patience", type=int, default=None,
                    help="val-loss early-stopping patience (default: config "
                         "preset; large value disables)")
@@ -271,6 +276,7 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
         mask_direction=getattr(args, "mask_direction", "train"),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
         conv_backend=getattr(args, "conv_backend", "auto"),
+        remat=bool(getattr(args, "remat", 0)),
         prng_impl=getattr(args, "prng_impl", None),
         seed=args.seed,
         output_dir=args.output_dir,

@@ -60,6 +60,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
         bn_axis_name="data" if mesh is not None else None,
         dtype=compute_dtype(cfg.compute_dtype),
         conv_backend=cfg.resolved_conv_backend(),
+        remat=cfg.remat,
     )
     steps_per_epoch = max(1, len(train_split) // cfg.batch_size)
     tx = make_optimizer(cfg, steps_per_epoch)

@@ -81,6 +81,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         # the frozen backbone runs eval-mode BN; fused_block1_eval still
         # carries gradients through to the upstream noise parameters
         conv_backend=cfg.resolved_conv_backend(),
+        remat=cfg.remat,
     )
     from sept_tpu.cli.train_baseline import artifact_name as baseline_artifact
 
@@ -96,6 +97,7 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
             bn_axis_name="data" if mesh is not None else None,
             dtype=compute_dtype(cfg.compute_dtype),
             conv_backend=cfg.resolved_conv_backend(),
+            remat=cfg.remat,
         )
         model = CloakedModelGRL(
             emotion_backbone=backbone, gender_backbone=gender,

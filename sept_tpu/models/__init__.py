@@ -38,7 +38,8 @@ def build_backbone(model_type: str, **kwargs):
         kwargs.pop("hidden_size", None)
         kwargs.pop("rnn_cell", None)
         kwargs.pop("dtype", None)  # f32-only variants
-        kwargs.pop("conv_backend", None)  # 2d-cnn-lstm-family knob
+        kwargs.pop("conv_backend", None)  # 2d-cnn-lstm-family knobs
+        kwargs.pop("remat", None)
         return OneDConvNet(**kwargs)
     if model_type == "2d-cnn":
         kwargs.pop("hidden_size", None)
@@ -47,6 +48,7 @@ def build_backbone(model_type: str, **kwargs):
         kwargs.pop("attention_size", None)
         kwargs.pop("dtype", None)
         kwargs.pop("conv_backend", None)
+        kwargs.pop("remat", None)
         return PlainConv2d(**kwargs)
     raise ValueError(f"unknown model_type: {model_type!r}")
 

@@ -305,32 +305,36 @@ class Conv2dBiRNN(nn.Module):
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Conv stack + RNN: (B, T, D, 1) -> (B, T/8, 2*hidden)."""
 
-        def _enc(x):
+        def _enc(mdl, x):
+            # everything routes through ``mdl``, NOT a closure over ``self``:
+            # under nn.remat flax rebinds the module into the checkpoint
+            # scope, and parameters declared via the outer instance (the
+            # fused block's _FusedConv0 param reads) leak tracers out of the
+            # transform (UnexpectedTracerError at grad time).
             blocks = list(enumerate((32, 64, 128)))
-            if self.conv_backend == "fused1":
-                x = self._fused_first_block(x, train)
-                x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+            if mdl.conv_backend == "fused1":
+                x = mdl._fused_first_block(x, train)
+                x = nn.Dropout(mdl.dropout_rate, broadcast_dims=(1, 2),
                                deterministic=not train)(x)
                 blocks = blocks[1:]
             for i, ch in blocks:
-                x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
-                                dtype=self.dtype,
-                                bn_axis_name=self.bn_axis_name)
+                x = _conv_block(x, ch, train, mdl.dropout_rate, name=str(i),
+                                dtype=mdl.dtype,
+                                bn_axis_name=mdl.bn_axis_name)
             x = _flatten_channel_major(x)
             x = StackedBiRNN(
-                hidden_size=self.hidden_size,
-                num_layers=self.num_rnn_layers,
-                cell_type=self.rnn_cell,
-                dropout_rate=self.dropout_rate,
-                dtype=self.dtype,
+                hidden_size=mdl.hidden_size,
+                num_layers=mdl.num_rnn_layers,
+                cell_type=mdl.rnn_cell,
+                dropout_rate=mdl.dropout_rate,
+                dtype=mdl.dtype,
                 name="rnn",
             )(x, train=train)
             return x.astype(jnp.float32)
 
         if self.remat:
-            rematted = nn.remat(lambda mdl, x_: _enc(x_))
-            return rematted(self, x)
-        return _enc(x)
+            return nn.remat(_enc)(self, x)
+        return _enc(self, x)
 
     @nn.compact
     def __call__(
@@ -360,29 +364,37 @@ class DeepConv2dBiRNN(Conv2dBiRNN):
     """
 
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
-        blocks = list(enumerate((32, 64, 128)))
-        if self.conv_backend == "fused1":
-            # the deep variant's first block is identical to the base one,
-            # so the fused kernel pair applies unchanged
-            x = self._fused_first_block(x, train)
-            x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
-                           deterministic=not train)(x)
-            blocks = blocks[1:]
-        for i, ch in blocks:
-            x = _conv_block(x, ch, train, self.dropout_rate, name=str(i),
-                            dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        x = _conv_block(x, 128, train, self.dropout_rate, pool=False, name="3",
-                        dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        x = _flatten_channel_major(x)
-        x = StackedBiRNN(
-            hidden_size=self.hidden_size,
-            num_layers=self.num_rnn_layers,
-            cell_type=self.rnn_cell,
-            dropout_rate=self.dropout_rate,
-            dtype=self.dtype,
-            name="rnn",
-        )(x, train=train)
-        return x.astype(jnp.float32)
+        def _enc(mdl, x):
+            # module access through ``mdl`` for nn.remat — see Conv2dBiRNN
+            blocks = list(enumerate((32, 64, 128)))
+            if mdl.conv_backend == "fused1":
+                # the deep variant's first block is identical to the base
+                # one, so the fused kernel pair applies unchanged
+                x = mdl._fused_first_block(x, train)
+                x = nn.Dropout(mdl.dropout_rate, broadcast_dims=(1, 2),
+                               deterministic=not train)(x)
+                blocks = blocks[1:]
+            for i, ch in blocks:
+                x = _conv_block(x, ch, train, mdl.dropout_rate, name=str(i),
+                                dtype=mdl.dtype,
+                                bn_axis_name=mdl.bn_axis_name)
+            x = _conv_block(x, 128, train, mdl.dropout_rate, pool=False,
+                            name="3", dtype=mdl.dtype,
+                            bn_axis_name=mdl.bn_axis_name)
+            x = _flatten_channel_major(x)
+            x = StackedBiRNN(
+                hidden_size=mdl.hidden_size,
+                num_layers=mdl.num_rnn_layers,
+                cell_type=mdl.rnn_cell,
+                dropout_rate=mdl.dropout_rate,
+                dtype=mdl.dtype,
+                name="rnn",
+            )(x, train=train)
+            return x.astype(jnp.float32)
+
+        if self.remat:
+            return nn.remat(_enc)(self, x)
+        return _enc(self, x)
 
     @nn.compact
     def __call__(

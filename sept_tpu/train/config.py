@@ -44,6 +44,11 @@ class ExperimentConfig:
     # "auto" (fused1 when it applies: bf16 compute, standard 200x128
     # window geometry, non-CPU backend; measured 9.3 -> 6.8 ms/step)
     conv_backend: str = "auto"
+    # rematerialize the encoder in the backward pass (jax.checkpoint):
+    # trades FLOPs (cheap — the step runs at ~10% MXU) for the HBM
+    # round-trips of the conv activations, the step's binding constraint
+    # (docs/ARCHITECTURE.md §2b′ roofline); 2d-cnn-lstm family only
+    remat: bool = False
     # jax PRNG implementation (None = jax default, threefry2x32); "rbg"
     # measured ~5% faster epochs — recorded so an artifact's manifest says
     # which random streams trained it

@@ -246,3 +246,47 @@ def test_cloak_grads_through_fused_eval():
         assert float(jnp.abs(a).max()) > 0.0, key  # grads actually flow
         tol = max(0.08 * float(jnp.abs(a).max()), 0.02)
         assert float(jnp.abs(a - b).max()) < tol, key
+
+
+def test_remat_composes_with_fused_backend():
+    """remat=True + conv_backend='fused1' trains (regression).
+
+    The encoder's nn.remat closure used to route module access through the
+    outer ``self`` instead of the checkpoint-rebound module, which leaked
+    the fused block's param tracers out of the transform
+    (UnexpectedTracerError at grad time).  remat is the roofline's top
+    remaining lever (docs/ARCHITECTURE.md §2b′), so the composition must
+    stay trainable; grads must also match the non-remat fused path.
+    """
+    from sept_tpu.models import Conv2dBiRNN
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 200, 128, 1)).astype(np.float32))
+    lab = jnp.asarray(np.array([0, 1], np.int32))
+
+    def grads(remat):
+        m = Conv2dBiRNN(hidden_size=16, pred="emotion", dtype=jnp.bfloat16,
+                        conv_backend="fused1", remat=remat)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+        def loss(p):
+            out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                             x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(2)},
+                             mutable=["batch_stats"])
+            lp = jax.nn.log_softmax(out)
+            return -jnp.mean(lp[jnp.arange(2), lab])
+
+        return jax.grad(loss)(v["params"])
+
+    g_plain = grads(remat=False)
+    g_remat = grads(remat=True)
+    assert jax.tree.structure(g_plain) == jax.tree.structure(g_remat)
+
+    def close(a, b):
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        tol = max(0.05 * float(jnp.abs(a32).max()), 0.02)
+        assert float(jnp.abs(a32 - b32).max()) < tol
+
+    jax.tree.map(close, g_plain, g_remat)

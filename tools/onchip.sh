@@ -12,7 +12,9 @@
 #              .jax_cache/, then with the default budget to validate the
 #              exact driver scenario warm
 #   roofline - benchmarks/roofline.py --batches 64 128 (bytes-vs-FLOPs
-#              accounting + the batch headroom probe; feeds ARCHITECTURE.md)
+#              accounting + the batch headroom probe + the remat mode —
+#              the top remaining lever per ARCHITECTURE.md §2b′; if
+#              bf16_fused1_remat wins, adopt via the trainers' --remat 1)
 #   serving  - benchmarks/serving_bench.py against the chip (replaces the
 #              CPU-backend JSON; VERDICT r2 item 2)
 #   smoke    - tests_tpu/ hardware lane (Pallas/Mosaic kernels, parity)
