@@ -15,7 +15,8 @@ training epoch is HBM-bandwidth-bound on the v5e chip:
   information the raw MFU number hides.
 
 Run on the chip:  python benchmarks/roofline.py
-Prints one JSON line per mode (f32/xla, bf16/xla, bf16/fused1).
+Prints one JSON line per mode (f32/xla, bf16/xla, bf16/fused1,
+bf16/fused1+remat — four fresh compiles).
 
 ``--analytic`` needs NO chip: it prints the same floors from a
 hand-counted bytes/FLOPs model of the step (documented inline) against

@@ -27,30 +27,34 @@ __all__ = [
 ]
 
 
+# Knobs only the 2d-cnn-lstm family understands: build_backbone silently
+# drops these (and ONLY these) for model types whose class lacks the field,
+# so trainers can pass their full knob set for any --model_type.  Anything
+# else unknown still raises — typos must not be swallowed.
+_FAMILY_KNOBS = frozenset({
+    "hidden_size", "rnn_cell", "att", "attention_size", "dtype",
+    "conv_backend", "remat", "bn_axis_name",
+})
+
+
 def build_backbone(model_type: str, **kwargs):
     """Model factory mirroring the reference trainers' --model_type switch
     (training_cloak.py:314-349)."""
-    if model_type in ("cnn-lstm-att", "2d-cnn-lstm"):
-        return Conv2dBiRNN(**kwargs)
-    if model_type == "deep-2d-cnn-lstm":
-        return DeepConv2dBiRNN(**kwargs)
-    if model_type == "1d-cnn-lstm-att":
-        kwargs.pop("hidden_size", None)
-        kwargs.pop("rnn_cell", None)
-        kwargs.pop("dtype", None)  # f32-only variants
-        kwargs.pop("conv_backend", None)  # 2d-cnn-lstm-family knobs
-        kwargs.pop("remat", None)
-        return OneDConvNet(**kwargs)
-    if model_type == "2d-cnn":
-        kwargs.pop("hidden_size", None)
-        kwargs.pop("rnn_cell", None)
-        kwargs.pop("att", None)
-        kwargs.pop("attention_size", None)
-        kwargs.pop("dtype", None)
-        kwargs.pop("conv_backend", None)
-        kwargs.pop("remat", None)
-        return PlainConv2d(**kwargs)
-    raise ValueError(f"unknown model_type: {model_type!r}")
+    import dataclasses
+
+    classes = {
+        "cnn-lstm-att": Conv2dBiRNN,
+        "2d-cnn-lstm": Conv2dBiRNN,
+        "deep-2d-cnn-lstm": DeepConv2dBiRNN,
+        "1d-cnn-lstm-att": OneDConvNet,
+        "2d-cnn": PlainConv2d,
+    }
+    cls = classes.get(model_type)
+    if cls is None:
+        raise ValueError(f"unknown model_type: {model_type!r}")
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in kwargs.items()
+                  if k in fields or k not in _FAMILY_KNOBS})
 
 
 def compute_dtype(name: str):

@@ -302,6 +302,10 @@ class Conv2dBiRNN(nn.Module):
 
         return _FusedBN0(32, name="bn0")(run_train, run_eval, train)
 
+    # DeepConv2dBiRNN flips this (plain class attr, not a dataclass field):
+    # a 4th un-pooled 128->128 conv block before the flatten
+    _extra_conv_block = False
+
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Conv stack + RNN: (B, T, D, 1) -> (B, T/8, 2*hidden)."""
 
@@ -320,6 +324,10 @@ class Conv2dBiRNN(nn.Module):
             for i, ch in blocks:
                 x = _conv_block(x, ch, train, mdl.dropout_rate, name=str(i),
                                 dtype=mdl.dtype,
+                                bn_axis_name=mdl.bn_axis_name)
+            if mdl._extra_conv_block:
+                x = _conv_block(x, 128, train, mdl.dropout_rate, pool=False,
+                                name="3", dtype=mdl.dtype,
                                 bn_axis_name=mdl.bn_axis_name)
             x = _flatten_channel_major(x)
             x = StackedBiRNN(
@@ -363,38 +371,9 @@ class DeepConv2dBiRNN(Conv2dBiRNN):
     ``deep_two_d_cnn_lstm_tmp`` clone (:388-509).
     """
 
-    def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
-        def _enc(mdl, x):
-            # module access through ``mdl`` for nn.remat — see Conv2dBiRNN
-            blocks = list(enumerate((32, 64, 128)))
-            if mdl.conv_backend == "fused1":
-                # the deep variant's first block is identical to the base
-                # one, so the fused kernel pair applies unchanged
-                x = mdl._fused_first_block(x, train)
-                x = nn.Dropout(mdl.dropout_rate, broadcast_dims=(1, 2),
-                               deterministic=not train)(x)
-                blocks = blocks[1:]
-            for i, ch in blocks:
-                x = _conv_block(x, ch, train, mdl.dropout_rate, name=str(i),
-                                dtype=mdl.dtype,
-                                bn_axis_name=mdl.bn_axis_name)
-            x = _conv_block(x, 128, train, mdl.dropout_rate, pool=False,
-                            name="3", dtype=mdl.dtype,
-                            bn_axis_name=mdl.bn_axis_name)
-            x = _flatten_channel_major(x)
-            x = StackedBiRNN(
-                hidden_size=mdl.hidden_size,
-                num_layers=mdl.num_rnn_layers,
-                cell_type=mdl.rnn_cell,
-                dropout_rate=mdl.dropout_rate,
-                dtype=mdl.dtype,
-                name="rnn",
-            )(x, train=train)
-            return x.astype(jnp.float32)
-
-        if self.remat:
-            return nn.remat(_enc)(self, x)
-        return _enc(self, x)
+    # the deep variant's first block is identical to the base one, so the
+    # fused kernel pair applies unchanged; encode() is inherited wholesale
+    _extra_conv_block = True
 
     @nn.compact
     def __call__(

@@ -298,3 +298,27 @@ def test_conv_block_dropout_is_channel_dropout():
                 kept += 1
     # p=0.7 over 32 planes: both outcomes occur with overwhelming probability
     assert dropped > 0 and kept > 0
+
+
+def test_build_backbone_accepts_full_trainer_knob_set():
+    """Every --model_type builds under the trainers' FULL kwarg set.
+
+    run_fold passes the whole knob set (hidden_size, att, bn_axis_name,
+    dtype, conv_backend, remat, ...) regardless of model type; the factory
+    must drop family-only knobs the target class lacks (bn_axis_name was
+    missed by the old per-branch pop lists — 1d-cnn-lstm-att and 2d-cnn
+    crashed at model build) while still raising on unknown typos.
+    """
+    from sept_tpu.models import build_backbone
+
+    trainer_kwargs = dict(hidden_size=16, pred="emotion", att=None,
+                          attention_size=128, bn_axis_name=None,
+                          dtype=None, conv_backend="xla", remat=False)
+    for mt in ("2d-cnn-lstm", "cnn-lstm-att", "deep-2d-cnn-lstm",
+               "1d-cnn-lstm-att", "2d-cnn"):
+        build_backbone(mt, **trainer_kwargs)
+
+    with pytest.raises(TypeError):
+        build_backbone("2d-cnn-lstm", hiden_size=16)  # typo must not vanish
+    with pytest.raises(ValueError):
+        build_backbone("no-such-model")

@@ -40,7 +40,7 @@ for s in $STAGES; do
     smoke)    run smoke python -m pytest tests_tpu/ -q ;;
     bench)    run bench1 env SEPT_BENCH_BUDGET_S=2400 timeout 2700 python bench.py
               run bench2 timeout 600 python bench.py ;;
-    roofline) run roofline timeout 1800 python benchmarks/roofline.py --batches 64 128 ;;
+    roofline) run roofline timeout 3600 python benchmarks/roofline.py --batches 64 128 ;;
     serving)  run serving timeout 1200 python benchmarks/serving_bench.py ;;
     demo)     run demo timeout 9000 python benchmarks/privacy_demo.py --mode reference ;;
     *) echo "unknown stage: $s" ;;
