@@ -14,7 +14,14 @@ make_epoch_runner / make_cloak_epoch_runner) up to float association when:
 - dropout is off (per-shard dropout masks are valid DP training but not the
   single-device masks);
 - the cloak noise key is shared (the (win,feats) noise draw broadcasts over
-  batch rows, so identical keys = identical noise on every shard).
+  batch rows, so identical keys = identical noise on every shard);
+- ``saliency_align`` is 0, OR every shard's weight sum is equal: the
+  saliency term normalizes and unit-means per SHARD, and the psum averages
+  those locally-normalized saliencies — with unequal shard weight sums
+  (speaker weights, padded last batch) that differs from the single-device
+  globally-normalized term by more than float association.  The alignment
+  objective ("shape scales like the local saliency map") is preserved; the
+  exact gradient is not.
 
 Loss formulation: each shard computes ``local_weighted_sum / psum(weights)
 [+ reg / n_devices]`` so that the RAW psum of local gradients equals the
@@ -37,6 +44,7 @@ from sept_tpu.train.steps import (
     TrainState,
     cloak_scales,
     saliency_alignment_loss,
+    weighted_nll_sum as _weighted_nll,
 )
 
 __all__ = ["make_epoch_runner_dp", "make_cloak_epoch_runner_dp", "put_replicated"]
@@ -48,10 +56,6 @@ def put_replicated(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def _weighted_nll(logits, labels, w):
-    logp = jax.nn.log_softmax(logits)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return jnp.sum(nll * w)
 
 
 def _order_spec(mesh: Mesh, axis: str):
@@ -283,6 +287,11 @@ def make_cloak_epoch_runner_dp(
         if mask is None:
             mask = jnp.ones(windows.shape[1:3], jnp.float32)
         if globals_ is None:
+            if use_global:
+                # gather would silently CLIP every batch index into the
+                # (1,1) dummy and train on all-zero global features
+                raise ValueError(
+                    "use_global=True but no globals_ passed to run()")
             globals_ = jnp.zeros((1, 1), jnp.float32)  # unused dummy slot
         order2 = jax.device_put(
             jnp.reshape(order[: n_batches * batch_size], (n_batches, batch_size)),

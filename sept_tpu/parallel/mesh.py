@@ -42,9 +42,20 @@ def init_distributed(
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    """1-D mesh over the first ``n_devices`` devices (default: all).
+
+    An explicit request for more devices than exist raises — slicing would
+    silently hand back a smaller mesh and run the job at the wrong scale
+    (batch-divisibility checks use the actual mesh size, so nothing
+    downstream would ever notice).
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sept_tpu.train.steps import TrainState
+from sept_tpu.train.steps import TrainState, weighted_nll_sum
 
 __all__ = ["make_shard_map_dp_step"]
 
@@ -53,10 +53,8 @@ def make_shard_map_dp_step(
                 rngs={"dropout": d_rng},
                 mutable=["batch_stats"],
             )
-            logp = jax.nn.log_softmax(out)
-            nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
             # local weighted SUM; the global mean divides after psum
-            return jnp.sum(nll * w), (out, mut)
+            return weighted_nll_sum(out, labels, w), (out, mut)
 
         (loss_sum, (logits, mut)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -71,14 +71,19 @@ class Predictor:
         self.shift_len = shift_len
         self.n_fft = n_fft
         self.norm_stats = norm_stats
+        # shape-independent constant: built once here, not on every trace of
+        # the bucketed _predict (each novel bucket re-traces, and compiles
+        # cost minutes over a tunneled chip).  Kept as numpy so constructing
+        # a Predictor never forces jax backend init.
+        self._fbanks = np.asarray(
+            F.melscale_fbanks(n_fft // 2 + 1, 0.0, 8000.0, feature_len,
+                              16000))
 
     def _features(self, padded, n_frames_max):
+        fb = jnp.asarray(self._fbanks)
+
         def one(w):
             spec = F.stft_power(w, self.n_fft, 160, center=False)
-            fb = jnp.asarray(
-                F.melscale_fbanks(self.n_fft // 2 + 1, 0.0, 8000.0,
-                                  self.feature_len, 16000)
-            )
             mel = jnp.dot(spec.T, fb, precision=F.PARITY_PRECISION,
                           preferred_element_type=jnp.float32)
             return F.amplitude_to_db(mel.T, "power", None).T  # (T, D)
@@ -526,6 +531,9 @@ class PredictionServer:
         sessions_lock = threading.Lock()
         sessions: dict = {}  # id -> {"wave": np.ndarray, "seed": int, "t": float}
         max_samples = int(max_stream_s * sample_rate)
+        # shortest wave the frontend accepts: the center-STFT reflect pad
+        # (prepare_waves) needs len > n_fft//2
+        min_samples = predictor.n_fft // 2 + 1
 
         def _stream_create(seed):
             sid = uuid.uuid4().hex[:16]
@@ -653,7 +661,12 @@ class PredictionServer:
             def _do_stream(self):
                 if self.path == "/stream":  # create
                     try:
-                        seed = int(self._read_json().get("seed", 0) or 0)
+                        req = self._read_json()
+                        if not isinstance(req, dict):
+                            # .get on a list/int body would AttributeError
+                            # past the except and drop the connection
+                            raise ValueError("body must be a JSON object")
+                        seed = int(req.get("seed", 0) or 0)
                     except (ValueError, TypeError, json.JSONDecodeError) as e:
                         return self._fail(400, {"error": str(e)})
                     return self._send(200, {"session": _stream_create(seed)})
@@ -675,6 +688,12 @@ class PredictionServer:
                     return self._fail(
                         404, {"error": f"unknown or expired session {sid!r}"})
                 wave, seed = got
+                if len(wave) < min_samples:
+                    # not enough audio for one reflect-padded STFT frame yet
+                    # (the pad would exceed the signal); keep buffering
+                    return self._send(200, {
+                        "samples": int(len(wave)), "buffered": True,
+                        "need_samples": int(min_samples)})
                 try:
                     # direct dispatch, NOT the micro-batcher: a long session
                     # tail merged with short /predict requests would pad the
@@ -724,6 +743,14 @@ class PredictionServer:
                             raise ValueError(
                                 "waveforms must be non-empty 1-D sample lists"
                             )
+                    if any(len(w) < min_samples for w in waves):
+                        # the reflect pad of the center-STFT needs
+                        # len > n_fft//2; fail as a 400 here, not a 500
+                        # ValueError from np.pad deep in the model path
+                        raise ValueError(
+                            f"each waveform needs >= {min_samples} samples "
+                            f"(n_fft//2 + 1) at 16 kHz"
+                        )
                     seed = int(req.get("seed", 0) or 0)
                 except (ValueError, KeyError, TypeError,
                         json.JSONDecodeError) as e:

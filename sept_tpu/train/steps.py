@@ -89,11 +89,24 @@ def init_state(
     )
 
 
-def weighted_ce(logits: jax.Array, labels: jax.Array, weights: jax.Array) -> jax.Array:
-    """Per-sample weighted cross entropy, averaged over total weight."""
+def weighted_nll_sum(
+    logits: jax.Array, labels: jax.Array, weights: jax.Array
+) -> jax.Array:
+    """Weighted negative-log-likelihood SUM (no normalization).
+
+    The data-parallel building block: shards psum their local sums and
+    divide by the GLOBAL weight afterwards (parallel/epoch_dp.py,
+    parallel/shard_map_dp.py); the single-device ``weighted_ce`` is this
+    over the local total weight."""
     logp = jax.nn.log_softmax(logits)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1e-8)
+    return jnp.sum(nll * weights)
+
+
+def weighted_ce(logits: jax.Array, labels: jax.Array, weights: jax.Array) -> jax.Array:
+    """Per-sample weighted cross entropy, averaged over total weight."""
+    return weighted_nll_sum(logits, labels, weights) / jnp.maximum(
+        jnp.sum(weights), 1e-8)
 
 
 def _metrics(logits, labels, weights, loss):

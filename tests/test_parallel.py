@@ -439,3 +439,31 @@ def test_dp_evaluation_sweep_matches_single_device():
     b8, a8 = run(make_mesh(8), batch_size=5)
     assert b1["acc"] == b8["acc"] and b1["rec"] == b8["rec"]
     assert a1["acc"] == a8["acc"] and a1["rec"] == a8["rec"]
+
+
+def test_mesh_and_global_misuse_raise():
+    """Misconfiguration fails loudly: an over-sized explicit mesh request
+    (slicing would silently run at the wrong scale) and a use_global cloak
+    runner invoked without globals_ (the (1,1) dummy would gather-clip to
+    all-zero global features and train silently wrong)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sept_tpu.models import CloakedModelGRL, Conv2dBiRNN
+    from sept_tpu.parallel import make_cloak_epoch_runner_dp, make_mesh
+    from sept_tpu.train import ExperimentConfig, make_optimizer
+
+    with pytest.raises(ValueError, match="device"):
+        make_mesh(n_devices=len(jax.devices()) + 1)
+
+    mesh = make_mesh(2)
+    bb = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    gb = Conv2dBiRNN(hidden_size=8, pred="gender", bn_axis_name="data")
+    model = CloakedModelGRL(emotion_backbone=bb, gender_backbone=gb,
+                            win_len=20, n_feats=8)
+    tx = make_optimizer(ExperimentConfig(optimizer="adam"), 1)
+    run = make_cloak_epoch_runner_dp(model, tx, mesh, use_global=True)
+    with pytest.raises(ValueError, match="globals_"):
+        run(None, jnp.zeros((4, 20, 8, 1)), jnp.zeros(4, jnp.int32),
+            jnp.zeros(4, jnp.int32), jnp.ones(4), jnp.arange(4),
+            None, n_batches=2, batch_size=2)

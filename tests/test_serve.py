@@ -789,3 +789,50 @@ def test_oversized_request_body_is_refused(rng):
             assert "exceeds" in json.load(e)["error"]
     finally:
         server.shutdown()
+
+
+def test_malformed_and_short_input_edges(rng):
+    """Input edges answer with HTTP status codes, never dropped connections.
+
+    - POST /stream with a non-object JSON body -> 400 (a list used to
+      AttributeError past the except tuple and reset the connection);
+    - /predict with a wave shorter than n_fft//2+1 -> 400 (used to 500
+      with an opaque np.pad ValueError from inside the model path);
+    - a short first stream chunk buffers (200, no probs) until the
+      accumulated session clears the frontend minimum.
+    """
+    import threading
+    import urllib.error
+
+    from sept_tpu.serve import PredictionServer
+
+    params, stats = _trained_dummy()
+    p = Predictor(params, stats, hidden_size=8, feature_len=D,
+                  win_len=WIN, shift_len=15)
+    server = PredictionServer(p, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        try:
+            _open(f"{base}/stream", [1, 2])
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        short = rng.standard_normal(100).astype(np.float32)
+        try:
+            _open(f"{base}/predict", {"waveforms": [short.tolist()]})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "samples" in e.read().decode()
+
+        sid = _open(f"{base}/stream", {})["session"]
+        out = _open(f"{base}/stream/{sid}", {"samples": short.tolist()})
+        assert out["buffered"] is True and out["samples"] == 100
+        assert "probs" not in out
+        out = _open(f"{base}/stream/{sid}",
+                    {"samples": rng.standard_normal(4000).tolist()})
+        assert out["samples"] == 4100 and "probs" in out
+    finally:
+        server.shutdown()
