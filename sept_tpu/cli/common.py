@@ -128,7 +128,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--feature_type", default="mel_spec")
     p.add_argument("--input_spec_size", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--num_epochs", type=int, default=30)
+    p.add_argument("--num_epochs", type=int, default=None,
+                   help="epochs per fold (default 30; the baseline trainer "
+                        "mirrors the reference's 100 under SGD, "
+                        "training_adversary_baselines.py:440 — unlike the "
+                        "reference an EXPLICIT value is always honored)")
     p.add_argument("--model_type", default="2d-cnn-lstm")
     p.add_argument("--pred", default="emotion")
     p.add_argument("--global_feature", type=int, default=0)
@@ -266,7 +270,7 @@ def config_from_args(args, **overrides) -> ExperimentConfig:
         global_feature=bool(args.global_feature),
         optimizer=args.optimizer,
         batch_size=args.batch_size,
-        num_epochs=args.num_epochs,
+        num_epochs=args.num_epochs if args.num_epochs is not None else 30,
         scale_lambda=args.scale_lamda,
         suppression_ratio=args.suppression_ratio,
         grl_lambda=args.grl_lambda,

@@ -136,6 +136,12 @@ def main(argv=None):
     cfg = config_from_args(args)
     if args.learning_rate is None:
         cfg.learning_rate = 1e-4 if cfg.optimizer == "sgd" else 5e-5
+    if args.num_epochs is None and cfg.optimizer == "sgd":
+        # reference runs 100 epochs under SGD regardless of --num_epochs
+        # (training_adversary_baselines.py:440); we honor an explicit flag
+        cfg.num_epochs = 100
+    # Plateau(patience=3, factor=0.2) for adam baselines (:429)
+    cfg.plateau_patience, cfg.plateau_factor = 3, 0.2
 
     from sept_tpu.cli.common import resolve_mesh
     from sept_tpu.data.store import load_fold

@@ -233,6 +233,12 @@ def main(argv=None):
     if args.learning_rate is None:
         cfg.learning_rate = 1e-3 if cfg.optimizer == "sgd" else 5e-4
     cfg.lr_step_epochs = 10  # cloak StepLR(10, 0.5) (training_cloak.py:379)
+    if cfg.grl:
+        # the GRL trainer steps StepLR once per epoch (only on the validate
+        # pass, training_cloak_with_grl.py:186-191) and uses
+        # Plateau(patience=3, factor=0.5) (:421)
+        cfg.lr_sched_steps_per_epoch = 1
+        cfg.plateau_patience, cfg.plateau_factor = 3, 0.5
 
     from sept_tpu.cli.common import resolve_mesh
     from sept_tpu.data.store import load_fold

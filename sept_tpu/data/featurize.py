@@ -22,6 +22,7 @@ for the openSMILE C++ dependency).
 from __future__ import annotations
 
 import functools
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -180,25 +181,8 @@ def featurize_corpus(
         from sept_tpu.ops.egemaps import _gemaps_batch  # cached executables
         from sept_tpu.ops.emobase import _emobase_batch
 
-    # dispatch-then-collect: stage every chunk and queue all its programs
-    # before any blocking np.asarray, so chunk N+1's H2D overlaps chunk N's
-    # compute/D2H (JAX dispatch is async; the chunked stage is otherwise
-    # transfer/dispatch-serialized over the tunneled chip)
-    pending = []
-    for ids, W, ts, ns in FN.chunked_wave_batches(
-        waveforms, quantum, batch_size, FN.n_frames
-    ):
-        bucket_len = W.shape[1]
-        Wd = jnp.asarray(W)
-        nsd = jnp.asarray(ns)
-
-        fn = _bucket_featurizer(bucket_len, feature_type, feature_len)
-        out = fn(Wd, nsd)
-        g = _gemaps_batch(Wd, jnp.asarray(ts), nsd) if include_gemaps else None
-        e = _emobase_batch(Wd, jnp.asarray(ts)) if include_emobase else None
-        pending.append((ids, ns, out, g, e))
-
-    for ids, ns, out, g, e in pending:
+    def _collect(entry):
+        ids, ns, out, g, e = entry
         if feature_type == "mel_spec":
             m1, m2 = np.asarray(out[0]), np.asarray(out[1])
             for row, u in enumerate(ids):
@@ -218,4 +202,31 @@ def featurize_corpus(
             e = np.asarray(e)
             for row, u in enumerate(ids):
                 store[u]["emobase"] = e[row]
+
+    # dispatch-then-collect with a BOUNDED queue: stage chunk N+1 and queue
+    # its programs before blocking on chunk N-k's np.asarray, so H2D
+    # overlaps compute/D2H (JAX dispatch is async; the chunked stage is
+    # otherwise transfer/dispatch-serialized over the tunneled chip).  The
+    # depth bound keeps peak HBM at O(k) chunks instead of the whole corpus
+    # — an unbounded queue held every chunk's (B, D, T) outputs live until
+    # the dispatch loop finished.
+    depth = 4
+    pending: deque = deque()
+    for ids, W, ts, ns in FN.chunked_wave_batches(
+        waveforms, quantum, batch_size, FN.n_frames
+    ):
+        bucket_len = W.shape[1]
+        Wd = jnp.asarray(W)
+        nsd = jnp.asarray(ns)
+
+        fn = _bucket_featurizer(bucket_len, feature_type, feature_len)
+        out = fn(Wd, nsd)
+        g = _gemaps_batch(Wd, jnp.asarray(ts), nsd) if include_gemaps else None
+        e = _emobase_batch(Wd, jnp.asarray(ts)) if include_emobase else None
+        pending.append((ids, ns, out, g, e))
+        while len(pending) > depth:
+            _collect(pending.popleft())
+
+    while pending:
+        _collect(pending.popleft())
     return store

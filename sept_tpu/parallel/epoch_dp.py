@@ -23,9 +23,12 @@ make_epoch_runner / make_cloak_epoch_runner) up to float association when:
   objective ("shape scales like the local saliency map") is preserved; the
   exact gradient is not.
 
-Loss formulation: each shard computes ``local_weighted_sum / psum(weights)
-[+ reg / n_devices]`` so that the RAW psum of local gradients equals the
-gradient of the global weighted mean plus exactly one copy of the
+Loss formulation: each shard computes ``local_weighted_sum /
+psum(real_row_count) [+ reg / n_devices]`` (speaker weights scale
+numerators only — reference combine loss divides by batch size,
+training_adversary_baselines.py:175-179) so that the RAW psum of local
+gradients equals the gradient of the global weighted mean plus exactly one
+copy of the
 regularizer — no double counting (the subtlety of mixing per-sample losses
 with parameter-only regularizers under DP).
 """
@@ -88,7 +91,9 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
             lab, w = labels[idx], weights[idx]
             lg = labels_gen[idx]
             rng, d_rng = jax.random.split(st.rng)
-            denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1e-8)
+            # global REAL-row count: speaker weights scale numerators only
+            denom = jnp.maximum(
+                jax.lax.psum(jnp.sum((w > 0).astype(jnp.float32)), axis), 1.0)
 
             def loss_fn(params):
                 out, mut = model.apply(
@@ -121,10 +126,11 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
                 params=params, batch_stats=batch_stats, opt_state=opt_state,
                 rng=rng, step=st.step + 1,
             )
+            valid = (w > 0).astype(jnp.float32)
             correct = jax.lax.psum(
-                jnp.sum((jnp.argmax(logits, -1) == lab) * w), axis
+                jnp.sum((jnp.argmax(logits, -1) == lab) * valid), axis
             )
-            return new_st, (loss, correct, jax.lax.psum(jnp.sum(w), axis))
+            return new_st, (loss, correct, jax.lax.psum(jnp.sum(valid), axis))
 
         state, (losses, correct, counts) = jax.lax.scan(body, state, order)
         return state, losses, correct, counts
@@ -189,7 +195,9 @@ def make_cloak_epoch_runner_dp(
             g = globals_[idx] if use_global else None
             le, lg, w = labels_emo[idx], labels_gen[idx], weights[idx]
             rng, n_rng, d_rng = jax.random.split(st.rng, 3)
-            denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1e-8)
+            # global REAL-row count: speaker weights scale numerators only
+            denom = jnp.maximum(
+                jax.lax.psum(jnp.sum((w > 0).astype(jnp.float32)), axis), 1.0)
 
             def loss_fn(params):
                 if grl:
@@ -261,10 +269,11 @@ def make_cloak_epoch_runner_dp(
                 params=params, batch_stats=bs, opt_state=opt_state,
                 rng=rng, step=st.step + 1,
             )
+            valid = (w > 0).astype(jnp.float32)
             correct = jax.lax.psum(
-                jnp.sum((jnp.argmax(logits, -1) == le) * w), axis
+                jnp.sum((jnp.argmax(logits, -1) == le) * valid), axis
             )
-            return new_st, (loss, correct, jax.lax.psum(jnp.sum(w), axis))
+            return new_st, (loss, correct, jax.lax.psum(jnp.sum(valid), axis))
 
         state, (losses, correct, counts) = jax.lax.scan(body, state, order)
         return state, losses, correct, counts

@@ -60,11 +60,13 @@ def make_shard_map_dp_step(
             loss_fn, has_aux=True
         )(state.params)
 
-        w_sum = jax.lax.psum(jnp.sum(w), axis)
+        # global REAL-row count (speaker weights scale numerators only;
+        # padding rows carry weight exactly 0) — steps.count_real semantics
+        n_real = jax.lax.psum(jnp.sum((w > 0).astype(jnp.float32)), axis)
         loss_sum = jax.lax.psum(loss_sum, axis)
-        denom = jnp.maximum(w_sum, 1e-8)
+        denom = jnp.maximum(n_real, 1.0)
         loss = loss_sum / denom
-        # d(global loss)/d(params) = psum(local grad sums) / global weight
+        # d(global loss)/d(params) = psum(local grad sums) / global count
         grads = jax.tree.map(lambda g: jax.lax.psum(g, axis) / denom, grads)
         # BN batch stats: average the per-shard updates (replicated result)
         batch_stats = jax.tree.map(
@@ -81,12 +83,13 @@ def make_shard_map_dp_step(
             step=state.step + 1,
         )
         correct = jax.lax.psum(
-            jnp.sum((jnp.argmax(logits, -1) == labels) * w), axis
+            jnp.sum((jnp.argmax(logits, -1) == labels)
+                    * (w > 0).astype(jnp.float32)), axis
         )
         return new_state, {
             "loss": loss,
             "correct": correct,
-            "count": w_sum,
+            "count": n_real,
             "preds": jnp.argmax(logits, -1),
         }
 

@@ -66,6 +66,12 @@ class ExperimentConfig:
     # (training_cloak.py:379)
     lr_step_epochs: int = 5
     lr_gamma: float = 0.5
+    # scheduler.step() calls per epoch — the baseline and plain-cloak
+    # trainers step at the end of BOTH the train and the validate pass
+    # (training_adversary_baselines.py:210 at :443-444), halving the
+    # effective step_size; the GRL trainer steps once (train/optim.py
+    # make_schedule docstring).  cloak_grl preset sets 1.
+    lr_sched_steps_per_epoch: int = 2
     # ReduceLROnPlateau params (adam)
     plateau_patience: int = 5
     plateau_factor: float = 0.2
@@ -134,20 +140,29 @@ class ExperimentConfig:
 
 _PRESETS = {
     # training_adversary_baselines.py: SGD lr 1e-4 StepLR(5, 0.5), 100 epochs
-    # when sgd (:424-439); adam lr 5e-5
+    # when sgd (:424-439); adam lr 5e-5 + Plateau(patience=3, factor=0.2)
+    # (:429)
     "baseline": dict(optimizer="sgd", learning_rate=1e-4, lr_step_epochs=5,
                      num_epochs=100, pred="emotion", adv=False,
-                     early_stop_with_sgd=False),
+                     early_stop_with_sgd=False,
+                     plateau_patience=3, plateau_factor=0.2),
     "adversary": dict(optimizer="sgd", learning_rate=1e-4, lr_step_epochs=5,
                       num_epochs=100, pred="gender", adv=True,
-                      early_stop_with_sgd=False),
+                      early_stop_with_sgd=False,
+                      plateau_patience=3, plateau_factor=0.2),
     # training_cloak.py: SGD lr 1e-3 StepLR(10, 0.5) (:377-379); adam 5e-4
+    # + Plateau(patience=5, factor=0.2) (:382)
     "cloak": dict(optimizer="sgd", learning_rate=1e-3, lr_step_epochs=10,
-                  num_epochs=30, pred="emotion", scale_lambda=0.1),
-    # training_cloak_with_grl.py: same cloak schedule + GRL game (:227-228)
+                  num_epochs=30, pred="emotion", scale_lambda=0.1,
+                  plateau_patience=5, plateau_factor=0.2),
+    # training_cloak_with_grl.py: same cloak StepLR but stepped only on the
+    # validate pass (:186-191 -> once per epoch) + Plateau(patience=3,
+    # factor=0.5) (:421); GRL game (:227-228)
     "cloak_grl": dict(optimizer="sgd", learning_rate=1e-3, lr_step_epochs=10,
                       num_epochs=30, pred="emotion", scale_lambda=0.1,
-                      grl=True, grl_lambda=0.1, gender_lambda=0.1),
+                      grl=True, grl_lambda=0.1, gender_lambda=0.1,
+                      lr_sched_steps_per_epoch=1,
+                      plateau_patience=3, plateau_factor=0.5),
 }
 
 

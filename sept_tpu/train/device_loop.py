@@ -140,9 +140,14 @@ def make_val_pass(apply_logits, use_global: bool = False):
     logits`` (``g`` is the (B, 88) global-feature batch, or None without
     ``use_global``).  Returns ``val(params, batch_stats, windows (M,T,D),
     labels (M,), weights (M,), n_batches, batch_size[, globals_]) ->
-    (weighted-CE loss, preds (M,))`` with the same global weighted mean as
-    a single-pass weighted_ce (numerator/denominator summed across batches
-    before dividing).
+    (loss, preds (M,))`` where loss is the MEAN OF PER-BATCH MEANS — the
+    same statistic the per-step path (loop.run_eval_epoch) and the
+    reference (np.mean over train_loss_list,
+    training_adversary_baselines.py:205) feed to the plateau scheduler and
+    early stopping.  A single global weighted mean differs whenever the
+    split isn't a batch-size multiple (the short last batch carries a full
+    1/n_batches of a batch-means average), which shifted LR reductions and
+    stop epochs between the two drivers.
     """
 
     @functools.partial(jax.jit, static_argnames=("n_batches", "batch_size"))
@@ -158,11 +163,12 @@ def make_val_pass(apply_logits, use_global: bool = False):
             logits = apply_logits(params, batch_stats, x, g)
             logp = jax.nn.log_softmax(logits)
             nll = -jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
-            return None, (jnp.sum(nll * w), jnp.sum(w), jnp.argmax(logits, -1))
+            n_real = jnp.maximum(jnp.sum((w > 0).astype(jnp.float32)), 1.0)
+            return None, (jnp.sum(nll * w) / n_real, jnp.argmax(logits, -1))
 
-        _, (nums, dens, preds) = jax.lax.scan(body, None, jnp.arange(n_batches))
-        loss = jnp.sum(nums) / jnp.maximum(jnp.sum(dens), 1e-8)
-        return loss, preds.reshape(-1)
+        _, (batch_losses, preds) = jax.lax.scan(
+            body, None, jnp.arange(n_batches))
+        return jnp.mean(batch_losses), preds.reshape(-1)
 
     return val
 
@@ -230,7 +236,8 @@ def fit_device(
     rng = np.random.default_rng(cfg.seed)
     early = EarlyStopping(patience=cfg.early_stop_patience)
     plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
-    min_sel = min(cfg.min_select_epoch, max(cfg.num_epochs - 2, 0))
+    # STRICT reference gate (epoch > 10), capped for short smoke runs
+    min_sel = min(cfg.min_select_epoch, cfg.num_epochs - 2)
 
     best_val_acc, best_epoch = 0.0, 0
     best_state = state
@@ -298,7 +305,8 @@ def fit_device(
             state = dataclasses.replace(
                 state, opt_state=set_lr_scale(state.opt_state, plateau.step(val_loss))
             )
-        if val_acc >= best_val_acc and epoch >= min_sel:
+        # STRICT >: ties keep the FIRST best epoch, like the reference
+        if val_acc > best_val_acc and epoch > min_sel:
             best_val_acc, best_epoch, best_state, final = val_acc, epoch, state, test_m
         if verbose:
             print(
@@ -306,8 +314,10 @@ def fit_device(
                 f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
                 f" uar {test_m['uar']:.3f}"
             )
+        if epoch > min_sel:  # patience accrues only once selection opens
+            early(val_loss)
         stop_allowed = cfg.optimizer != "sgd" or cfg.early_stop_with_sgd
-        should_stop = epoch >= min_sel and early(val_loss) and stop_allowed
+        should_stop = early.should_stop and stop_allowed
         if mid is not None and not should_stop:
             mid.save(state, best_state, _loop_snapshot(
                 epoch, best_val_acc, best_epoch, early, plateau, final, history
@@ -394,7 +404,8 @@ def fit_device_cloak(
     rng = np.random.default_rng(cfg.seed)
     early = EarlyStopping(patience=cfg.early_stop_patience)
     plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
-    min_sel = min(cfg.min_select_epoch, max(cfg.num_epochs - 2, 0))
+    # STRICT reference gate (epoch > 10), capped for short smoke runs
+    min_sel = min(cfg.min_select_epoch, cfg.num_epochs - 2)
 
     best_val_acc, best_epoch = 0.0, 0
     best_state = state
@@ -457,14 +468,21 @@ def fit_device_cloak(
             state = dataclasses.replace(
                 state, opt_state=set_lr_scale(state.opt_state, plateau.step(val_loss))
             )
-        if val_acc >= best_val_acc and epoch >= min_sel:
+        # STRICT >: ties keep the FIRST best epoch, like the reference
+        if val_acc > best_val_acc and epoch > min_sel:
             best_val_acc, best_epoch, best_state, final = val_acc, epoch, state, test_m
         if verbose:
             print(
                 f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
                 f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
             )
-        should_stop = epoch >= min_sel and early(val_loss)
+        if epoch > min_sel:  # patience accrues only once selection opens
+            early(val_loss)
+        # same gate as fit()/fit_device (cloak presets keep
+        # early_stop_with_sgd=True: the reference cloak trainer always
+        # breaks, training_cloak.py:440 — but the CONFIG decides)
+        should_stop = early.should_stop and (
+            cfg.optimizer != "sgd" or cfg.early_stop_with_sgd)
         if mid is not None and not should_stop:
             mid.save(state, best_state, _loop_snapshot(
                 epoch, best_val_acc, best_epoch, early, plateau, final, history

@@ -286,9 +286,10 @@ def fit(
     early = EarlyStopping(patience=cfg.early_stop_patience)
     plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
 
-    # reference selects best-by-val-acc only after epoch 10 (:404); cap at
-    # num_epochs-1 so short smoke runs still select a model
-    min_sel = min(cfg.min_select_epoch, max(cfg.num_epochs - 2, 0))
+    # reference selects best-by-val-acc only when epoch > 10 (STRICT,
+    # training_adversary_baselines.py:455, training_cloak.py:404); capped
+    # at num_epochs-2 so short smoke runs still select a model
+    min_sel = min(cfg.min_select_epoch, cfg.num_epochs - 2)
 
     best_val_acc, best_epoch = 0.0, 0
     best_state = state
@@ -309,7 +310,8 @@ def fit(
                 state, opt_state=set_lr_scale(state.opt_state, scale)
             )
 
-        if val_m["acc"] >= best_val_acc and epoch >= min_sel:
+        # STRICT >: ties keep the FIRST best epoch, like the reference
+        if val_m["acc"] > best_val_acc and epoch > min_sel:
             best_val_acc = val_m["acc"]
             best_epoch = epoch
             best_state = state
@@ -322,8 +324,12 @@ def fit(
                 f"| test acc {test_m['acc']:.3f} uar {test_m['uar']:.3f}"
             )
 
+        # the patience counter only accrues once selection opens (the
+        # reference calls early_stopping() only when epoch > 10, :463-464)
+        if epoch > min_sel:
+            early(val_m["loss"])
         stop_allowed = cfg.optimizer != "sgd" or cfg.early_stop_with_sgd
-        if epoch >= min_sel and early(val_m["loss"]) and stop_allowed:
+        if early.should_stop and stop_allowed:
             if verbose:
                 print("early stopping")
             break

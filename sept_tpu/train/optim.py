@@ -53,14 +53,33 @@ def _base_tx(cfg: ExperimentConfig, schedule) -> optax.GradientTransformation:
 
 def make_schedule(cfg: ExperimentConfig, steps_per_epoch: int):
     """StepLR for SGD (epoch-granular staircase decay); constant base LR for
-    Adam (plateau scaling happens via lr_scale injection)."""
+    Adam (plateau scaling happens via lr_scale injection).
+
+    Reference quirk (``lr_sched_steps_per_epoch``): the baseline and plain
+    cloak trainers call ``scheduler.step()`` at the end of train() for BOTH
+    the training and the validation pass (training_adversary_baselines.py:
+    204-210 called at :443-444; training_cloak.py:175-181 at :394-395), so
+    ``StepLR(step_size=s)`` effectively decays every ``s/2`` epochs there.
+    Only the GRL trainer steps once per epoch (training_cloak_with_grl.py:
+    186-191 gates on mode=='validate').  Both steps land AFTER the epoch's
+    training, so the LR is constant within each training epoch:
+    ``lr(epoch) = lr0 * gamma ** ((k * epoch) // s)`` with k scheduler
+    steps per epoch.
+    """
     if cfg.optimizer == "sgd":
-        return optax.exponential_decay(
-            init_value=cfg.learning_rate,
-            transition_steps=max(1, cfg.lr_step_epochs * steps_per_epoch),
-            decay_rate=cfg.lr_gamma,
-            staircase=True,
-        )
+        spe = max(1, steps_per_epoch)
+        k = cfg.lr_sched_steps_per_epoch
+        s = max(1, cfg.lr_step_epochs)
+
+        def schedule(count):
+            import jax.numpy as jnp
+
+            epoch = count // spe
+            decays = (k * epoch) // s
+            return cfg.learning_rate * jnp.power(
+                jnp.asarray(cfg.lr_gamma, jnp.float32), decays)
+
+        return schedule
     return cfg.learning_rate
 
 
@@ -158,17 +177,21 @@ class PlateauScheduler:
     (training_adversary_baselines.py:429, training_cloak.py:382).
     """
 
-    def __init__(self, patience: int = 5, factor: float = 0.2, min_scale: float = 1e-4):
+    def __init__(self, patience: int = 5, factor: float = 0.2,
+                 min_scale: float = 1e-4, threshold: float = 1e-4):
         self.patience = patience
         self.factor = factor
         self.min_scale = min_scale
+        # torch's default threshold=1e-4, threshold_mode='rel': a loss only
+        # counts as improved when it beats best * (1 - threshold)
+        self.threshold = threshold
         self.best: Optional[float] = None
         self.bad_epochs = 0
         self.scale = 1.0
 
     def step(self, val_loss: float) -> float:
         """Record an epoch's validation loss; returns the current LR scale."""
-        if self.best is None or val_loss < self.best:
+        if self.best is None or val_loss < self.best * (1.0 - self.threshold):
             self.best = val_loss
             self.bad_epochs = 0
         else:

@@ -103,19 +103,37 @@ def weighted_nll_sum(
     return jnp.sum(nll * weights)
 
 
+def count_real(weights: jax.Array) -> jax.Array:
+    """Number of REAL (non-padding) rows: weights > 0.
+
+    Speaker weights scale loss numerators only; padding rows carry weight
+    exactly 0."""
+    return jnp.maximum(jnp.sum(weights > 0).astype(jnp.float32), 1.0)
+
+
 def weighted_ce(logits: jax.Array, labels: jax.Array, weights: jax.Array) -> jax.Array:
-    """Per-sample weighted cross entropy, averaged over total weight."""
-    return weighted_nll_sum(logits, labels, weights) / jnp.maximum(
-        jnp.sum(weights), 1e-8)
+    """Per-sample weighted cross entropy, averaged over the REAL row count.
+
+    The reference's combine-mode loss is ``sum_i(ce_i * w_i) / len(preds)``
+    (training_adversary_baselines.py:175-179, training_cloak.py:137-143) —
+    speaker weights scale the numerator only; the denominator is the batch
+    size.  Dividing by ``sum(weights)`` instead (the earlier behavior)
+    silently shrank combine-mode gradients by the batch's mean weight.
+    For unweighted runs (weights ∈ {0,1}) the two are identical."""
+    return weighted_nll_sum(logits, labels, weights) / count_real(weights)
 
 
 def _metrics(logits, labels, weights, loss):
+    """Train-pass metrics; accuracy is UNWEIGHTED over real rows (the
+    reference appends every prediction and scores plain accuracy_score,
+    training_adversary_baselines.py:218)."""
     preds = jnp.argmax(logits, axis=-1)
-    correct = jnp.sum((preds == labels) * weights)
+    valid = (weights > 0).astype(jnp.float32)
+    correct = jnp.sum((preds == labels) * valid)
     return {
         "loss": loss,
         "correct": correct,
-        "count": jnp.sum(weights),
+        "count": jnp.sum(valid),
         "preds": preds,
     }
 
@@ -240,8 +258,9 @@ def make_epoch_runner(model, tx, use_global: bool = False,
                 rng=rng,
                 step=st.step + 1,
             )
-            correct = jnp.sum((jnp.argmax(logits, -1) == lab) * w)
-            return new_st, (loss, correct, jnp.sum(w))
+            valid = (w > 0).astype(jnp.float32)
+            correct = jnp.sum((jnp.argmax(logits, -1) == lab) * valid)
+            return new_st, (loss, correct, jnp.sum(valid))
 
         state, (losses, correct, counts) = jax.lax.scan(
             body, state, jnp.arange(n_batches)
@@ -344,8 +363,9 @@ def make_cloak_epoch_runner(
                 params=params, batch_stats=bs, opt_state=opt_state,
                 rng=rng, step=st.step + 1,
             )
-            correct = jnp.sum((jnp.argmax(logits, -1) == le) * w)
-            return new_st, (loss, correct, jnp.sum(w))
+            valid = (w > 0).astype(jnp.float32)
+            correct = jnp.sum((jnp.argmax(logits, -1) == le) * valid)
+            return new_st, (loss, correct, jnp.sum(valid))
 
         state, (losses, correct, counts) = jax.lax.scan(
             body, state, jnp.arange(n_batches)

@@ -125,8 +125,11 @@ def test_vote_cache_pins_logits_fn_against_id_reuse():
 
 @pytest.mark.slow
 def test_scanned_val_pass_matches_single_forward():
-    """make_val_pass (batched, memory-bounded) must reproduce the global
-    weighted-CE loss and predictions of one whole-split forward."""
+    """make_val_pass must reproduce the MEAN-OF-PER-BATCH-MEANS loss (what
+    the per-step path and the reference's np.mean(train_loss_list) feed to
+    plateau/early-stop — training_adversary_baselines.py:205) and the
+    predictions of one whole-split forward.  n=21, batch 8: the short last
+    batch weighs 1/3, not 5/21, distinguishing this from a global mean."""
     from sept_tpu.data.pipeline import SplitArrays
     from sept_tpu.train.device_loop import DeviceSplit, make_val_pass
     from sept_tpu.train.steps import weighted_ce
@@ -155,8 +158,16 @@ def test_scanned_val_pass_matches_single_forward():
                           ds.weights, n_batches=ds.n_batches,
                           batch_size=ds.batch_size)
     logits = apply_logits(v["params"], v["batch_stats"], ds.windows)
-    loss_1 = weighted_ce(logits, ds.labels, ds.weights)
-    assert float(loss_b) == pytest.approx(float(loss_1), rel=1e-5)
+    batch_losses = [
+        float(weighted_ce(logits[lo:lo + bsz], ds.labels[lo:lo + bsz],
+                          ds.weights[lo:lo + bsz]))
+        for lo in range(0, ds.n_batches * bsz, bsz)
+    ]
+    assert float(loss_b) == pytest.approx(np.mean(batch_losses), rel=1e-5)
+    # and it must NOT be the global weighted mean (they differ on the
+    # 21-row split — that difference shifted LR schedules between drivers)
+    loss_global = float(weighted_ce(logits, ds.labels, ds.weights))
+    assert abs(float(loss_b) - loss_global) > 1e-7
     np.testing.assert_array_equal(
         np.asarray(preds_b), np.asarray(jnp.argmax(logits, -1))
     )

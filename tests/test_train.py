@@ -243,15 +243,31 @@ def test_plateau_scheduler_reduces_after_patience():
 
 
 def test_sgd_step_schedule_halves_lr():
-    import optax
+    """StepLR reproduces the reference's per-trainer stepping rates.
+
+    The baseline/cloak trainers call scheduler.step() after BOTH the train
+    and validate pass (2 scheduler steps/epoch,
+    training_adversary_baselines.py:210 at :443-444), the GRL trainer only
+    on validate (1/epoch).  LR factor for training epoch e is
+    gamma ** ((k*e) // step_size); constant within an epoch.
+    """
     from sept_tpu.train.optim import make_schedule
 
-    cfg = small_cfg(optimizer="sgd", learning_rate=1e-3, lr_step_epochs=2)
+    # default (double-step) mode: step_size 5, 5 steps/epoch
+    cfg = small_cfg(optimizer="sgd", learning_rate=1e-3, lr_step_epochs=5)
     sched = make_schedule(cfg, steps_per_epoch=5)
-    assert float(sched(0)) == pytest.approx(1e-3)
-    assert float(sched(9)) == pytest.approx(1e-3)
-    assert float(sched(10)) == pytest.approx(5e-4)
-    assert float(sched(20)) == pytest.approx(2.5e-4)
+    assert float(sched(0)) == pytest.approx(1e-3)      # epoch 0
+    assert float(sched(14)) == pytest.approx(1e-3)     # epoch 2: floor(4/5)=0
+    assert float(sched(15)) == pytest.approx(5e-4)     # epoch 3: floor(6/5)=1
+    assert float(sched(25)) == pytest.approx(2.5e-4)   # epoch 5: floor(10/5)=2
+
+    # GRL mode: one scheduler step per epoch
+    cfg1 = small_cfg(optimizer="sgd", learning_rate=1e-3, lr_step_epochs=2,
+                     lr_sched_steps_per_epoch=1)
+    sched1 = make_schedule(cfg1, steps_per_epoch=5)
+    assert float(sched1(9)) == pytest.approx(1e-3)     # epoch 1
+    assert float(sched1(10)) == pytest.approx(5e-4)    # epoch 2
+    assert float(sched1(20)) == pytest.approx(2.5e-4)  # epoch 4
 
 
 def test_set_lr_scale_rewrites_injected_hyperparam():
@@ -285,3 +301,41 @@ def test_presets_mirror_reference_defaults():
     assert (c.learning_rate, c.lr_step_epochs) == (1e-3, 10)
     g = preset("cloak_grl", gender_lambda=0.2)
     assert g.grl and g.gender_lambda == 0.2 and g.grl_lambda == 0.1
+
+
+def test_weighted_ce_divides_by_batch_size_not_weight_sum():
+    """Combine-mode loss parity: ``sum_i(ce_i * w_i) / len(preds)``.
+
+    The reference scales each sample's CE by its speaker weight and divides
+    by the BATCH SIZE (training_adversary_baselines.py:175-179,
+    training_cloak.py:137-143); dividing by sum(weights) instead shrank
+    combine-mode gradients by the batch's mean weight.  Padding rows
+    (weight 0) stay excluded from the count.
+    """
+    from sept_tpu.train.steps import weighted_ce
+
+    logits = jax.random.normal(KEY, (5, 4))
+    labels = jnp.asarray([0, 1, 2, 3, 0])
+    w = jnp.asarray([3.0, 1.0, 1.0, 2.0, 0.0])  # last row = padding
+
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    expect = float(jnp.sum(nll * w)) / 4.0  # 4 real rows
+    assert float(weighted_ce(logits, labels, w)) == pytest.approx(expect, rel=1e-6)
+
+    # unweighted batches are unchanged: mean over real rows
+    w01 = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0])
+    expect01 = float(jnp.mean(nll[:4]))
+    assert float(weighted_ce(logits, labels, w01)) == pytest.approx(expect01, rel=1e-6)
+
+
+def test_plateau_relative_threshold():
+    """torch ReduceLROnPlateau default: improvement only counts when the
+    loss beats best * (1 - 1e-4); epsilon wiggles are bad epochs."""
+    from sept_tpu.train.optim import PlateauScheduler
+
+    p = PlateauScheduler(patience=1, factor=0.5)
+    assert p.step(1.0) == 1.0
+    assert p.step(1.0 - 5e-5) == 1.0   # within rel threshold: bad epoch 1
+    assert p.step(1.0 - 6e-5) == 0.5   # bad epoch 2 > patience -> reduce
+    assert p.step(0.9) == 0.5          # real improvement, scale kept
