@@ -108,6 +108,19 @@ def setup_seed(seed: int = 8, prng_impl: str | None = None) -> np.random.Generat
     import os
 
     pin_cpu_platform()
+    # multi-host DCN init MUST precede any backend use — and
+    # enable_compile_cache() below touches jax.default_backend() to scope
+    # the cache dir, which would initialize local-only backends and make
+    # the later jax.distributed.initialize in resolve_mesh() fail
+    coord = os.environ.get("SEPT_COORDINATOR")
+    if coord:
+        from sept_tpu.parallel import init_distributed
+
+        init_distributed(
+            coord,
+            int(os.environ["SEPT_NUM_PROCESSES"]),
+            int(os.environ["SEPT_PROCESS_ID"]),
+        )
     if prng_impl:
         import jax
 

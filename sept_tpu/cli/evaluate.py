@@ -72,6 +72,25 @@ def main(argv=None):
     adv_fn = make_eval_logits_fn(adversary, pooling=pooling,
                                  use_global=cfg.global_feature)
 
+    # ONE joint function for the whole sweep: the cloak variables, frozen
+    # weights, mask, and noise key all arrive as ARGUMENTS, so every
+    # (ratio, fold) cell reuses the same compiled vote program (the old
+    # per-cell closures recompiled the two-backbone forward 25 times —
+    # multi-minute compiles each over a tunneled chip)
+    def joint_logits(fn_params, wins, g, m, rng):
+        # wins (N, T, D, 1) -> noised once per call (protocol of
+        # two_d_cnn_lstm_syn.forward returning x.detach()), then both
+        # frozen heads (adversary_cloak_evaluation.py:78-83)
+        noise_vars, base_p, adv_p = fn_params
+        noised = noise.apply(noise_vars, wins[..., 0], m,
+                             rngs={"noise": rng})[..., None]
+        return jnp.concatenate([
+            emo_fn(base_p["params"], base_p.get("batch_stats", {}),
+                   noised, g),
+            adv_fn(adv_p["params"], adv_p.get("batch_stats", {}),
+                   noised, g),
+        ], axis=-1)
+
     per_ratio = {}
     for ratio in args.ratios:
         fold_results = []
@@ -94,23 +113,9 @@ def main(argv=None):
                 noise.apply(noise_params, method=CloakNoise.scales)
             )
             mask = eval_mask(scales, ratio)
-            mask_j = None if mask is None else jnp.asarray(mask)
-
-            def noise_apply(wins, m, rng):
-                # wins (N, T, D, 1) -> noised, one draw per call (protocol
-                # of two_d_cnn_lstm_syn.forward returning x.detach())
-                out = noise.apply(noise_params, wins[..., 0], m,
-                                  rngs={"noise": rng})
-                return out[..., None]
-
-            def emo_logits(wins, g):
-                return emo_fn(base["params"], base.get("batch_stats", {}), wins, g)
-
-            def adv_logits(wins, g):
-                return adv_fn(adv["params"], adv.get("batch_stats", {}), wins, g)
 
             b, a = evaluate_cloaked_test(
-                noise_apply, emo_logits, adv_logits, fold.test, mask_j,
+                joint_logits, (noise_params, base, adv), fold.test, mask,
                 win_len=cfg.win_len, shift_len=cfg.shift_len,
                 noise_seed=cfg.seed, mesh=mesh,
                 use_global=cfg.global_feature,

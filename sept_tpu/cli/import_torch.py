@@ -105,12 +105,14 @@ def main(argv=None):
     deep = "conv.15.weight" in backbone_sd
     model_type = "deep-2d-cnn-lstm" if deep else "2d-cnn-lstm"
     dense1_in = int(backbone_sd["dense1.weight"].shape[1])
-    # reference dense1 in-features: pooled width (2H, or 2H*25 flattened for
-    # the deep model) + 88 iff built with global_feature=1
-    pooled = 2 * hidden * (25 if deep else 1)
     win_len = args.win_len
     if cloak_sd is not None:
         win_len = int(np.asarray(cloak_sd["locs"]).shape[-2])
+    # reference dense1 in-features: pooled width (2H mean-pooled, or
+    # 2H * win_len//8 flattened for the deep model — 25 at the standard
+    # win_len 200, but a function of the TRAINED window length, not a
+    # constant) + 88 iff built with global_feature=1
+    pooled = 2 * hidden * (win_len // 8 if deep else 1)
     config = {
         "model_type": model_type,
         "pred": args.pred if cloak_sd is None else "emotion",

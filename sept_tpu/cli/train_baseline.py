@@ -76,8 +76,6 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
         model, tx, jax.random.PRNGKey(cfg.seed), sample,
         use_global=cfg.global_feature, pooling=pooling,
     )
-    step = make_baseline_step(model, tx, use_global=cfg.global_feature,
-                              pooling=pooling)
     logits_fn = make_eval_logits_fn(model, use_global=cfg.global_feature,
                                     pooling=pooling)
     spk_w = speaker_weights(train_split) if "combine" in cfg.dataset else None
@@ -98,6 +96,10 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
         if mesh is not None:
             print("note: --n_devices DP needs the device loop; training "
                   "single-device")
+        # per-step host loop: the jitted step is only built on this branch
+        # (fit_device compiles its own scanned epoch)
+        step = make_baseline_step(model, tx, use_global=cfg.global_feature,
+                                  pooling=pooling)
         result = fit(state, step, logits_fn, train_split, val_split,
                      fold.test, cfg, spk_weights=spk_w, verbose=verbose)
     if metrics_path:

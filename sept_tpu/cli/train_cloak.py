@@ -159,16 +159,19 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
     )
     pooling = pooling_for(cfg.model_type)
     apply_reg = cfg.suppression_ratio == 0
-    if cfg.grl:
-        step = make_cloak_grl_step(
-            model, tx, scale_lambda=cfg.scale_lambda,
-            gender_lambda=cfg.gender_lambda, use_global=cfg.global_feature,
-            apply_scale_reg=apply_reg, pooling=pooling,
-            antithetic=cfg.antithetic_noise,
-            saliency_align=cfg.saliency_align,
-        )
-    else:
-        step = make_cloak_step(
+
+    def make_step():
+        # per-step host-loop jitted step — only the fit() branch uses it
+        # (fit_device_cloak compiles its own scanned epoch)
+        if cfg.grl:
+            return make_cloak_grl_step(
+                model, tx, scale_lambda=cfg.scale_lambda,
+                gender_lambda=cfg.gender_lambda, use_global=cfg.global_feature,
+                apply_scale_reg=apply_reg, pooling=pooling,
+                antithetic=cfg.antithetic_noise,
+                saliency_align=cfg.saliency_align,
+            )
+        return make_cloak_step(
             model, tx, scale_lambda=cfg.scale_lambda,
             use_global=cfg.global_feature, apply_scale_reg=apply_reg,
             pooling=pooling, antithetic=cfg.antithetic_noise,
@@ -195,8 +198,9 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         )
     else:
         result = fit(
-            state, step, jax.jit(eval_logits), fold.training, fold.validation,
-            fold.test, cfg, spk_weights=spk_w, mask=mask, verbose=verbose,
+            state, make_step(), jax.jit(eval_logits), fold.training,
+            fold.validation, fold.test, cfg, spk_weights=spk_w, mask=mask,
+            verbose=verbose,
         )
 
     scales = np.asarray(cloak_scales(model, result.best_state.params))

@@ -32,12 +32,22 @@ def accuracy(truth: np.ndarray, pred: np.ndarray) -> float:
 
 
 def uar(truth: np.ndarray, pred: np.ndarray) -> float:
-    """Unweighted average recall (= sklearn macro recall over present classes)."""
+    """Unweighted average recall = sklearn ``recall_score(average='macro')``
+    (the reference metric, training_tools.py:142).
+
+    sklearn's default label set is the sorted UNION of truth and pred: a
+    class appearing only in predictions contributes recall 0 to the macro
+    mean.  Averaging over truth-present classes only (the earlier behavior)
+    inflated UAR whenever a model predicted a class absent from the split.
+    """
     truth, pred = np.asarray(truth), np.asarray(pred)
-    classes = np.unique(truth)
+    classes = np.unique(np.concatenate([truth, pred]))
     if len(classes) == 0:
         return 0.0
-    recalls = [np.mean(pred[truth == c] == c) for c in classes]
+    recalls = [
+        np.mean(pred[truth == c] == c) if np.any(truth == c) else 0.0
+        for c in classes
+    ]
     return float(np.mean(recalls))
 
 

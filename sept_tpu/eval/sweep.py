@@ -50,10 +50,38 @@ def train_mask(scales: np.ndarray, suppression_ratio: int) -> Optional[np.ndarra
     return np.where(scales > thresh, 0.0, 1.0).astype(np.float32)
 
 
+# one compiled joint-vote program per (joint_logits_fn identity, geometry):
+# the cloak variables, frozen weights, suppression mask, and noise key all
+# ride through the vote's PARAMS slot, so the whole (ratio x fold) sweep
+# shares one executable instead of recompiling the two-backbone forward per
+# cell (25 multi-minute compiles over a tunneled chip).  Same id-pinning /
+# FIFO eviction scheme as train.loop._cached_vote.
+_JOINT_VOTE_CACHE: dict = {}
+
+
+def _cached_joint_vote(joint_logits_fn, win_len, shift_len, head_sizes):
+    key = (id(joint_logits_fn), win_len, shift_len, head_sizes)
+    entry = _JOINT_VOTE_CACHE.get(key)
+    if entry is None or entry[0] is not joint_logits_fn:
+
+        def vote_logits(params, _stats, wins, g):
+            fn_params, mask, rng = params
+            return joint_logits_fn(fn_params, wins, g, mask, rng)
+
+        entry = (
+            joint_logits_fn,
+            make_sliding_vote_fn(vote_logits, win_len, shift_len,
+                                 head_sizes=head_sizes),
+        )
+        _JOINT_VOTE_CACHE[key] = entry
+        if len(_JOINT_VOTE_CACHE) > 64:
+            _JOINT_VOTE_CACHE.pop(next(iter(_JOINT_VOTE_CACHE)))
+    return entry[1]
+
+
 def evaluate_cloaked_test(
-    noise_apply: Callable,
-    emotion_logits_fn: Callable,
-    adversary_logits_fn: Callable,
+    joint_logits_fn: Callable,
+    fn_params,
     test: SplitArrays,
     mask: Optional[np.ndarray],
     win_len: int = 200,
@@ -62,12 +90,24 @@ def evaluate_cloaked_test(
     noise_seed: int = 8,
     mesh=None,
     use_global: bool = False,
+    n_emo: int = 4,
+    n_adv: int = 2,
 ) -> tuple[dict, dict]:
     """Run the cloak -> frozen-models evaluation protocol on one test split.
 
-    ``noise_apply(spec_windows (N, T, D, 1), mask, rng) -> noised windows``;
-    the logits fns map (N, win_len, D, 1) windows to logits.  Returns
-    (baseline_result, adversary_result) dicts with acc/uar/conf.
+    ``joint_logits_fn(fn_params, wins (N, win_len, D, 1), g, mask, rng) ->
+    (N, n_emo + n_adv)`` noises each window ONCE and concatenates the frozen
+    emotion and adversary logits (the reference computes noisy once and runs
+    both models, adversary_cloak_evaluation.py:78-83).  ``fn_params`` is a
+    pytree carrying everything that varies across sweep cells (cloak
+    variables, frozen weights): keeping the function identity FIXED across
+    calls lets the whole (ratio x fold) sweep share one compiled vote
+    program.  ``mask=None`` is passed as an all-ones (win_len, D) array —
+    numerically identical in CloakNoise (``x*1 + noise*1``) and shape-stable
+    for the jit.  Returns (baseline_result, adversary_result) dicts with
+    acc/rec/conf, plus a ``per_dataset`` breakdown when the split mixes
+    corpora (combine mode — the reference emits one CSV row per corpus,
+    :277-294).
 
     ``use_global``: feed each utterance's 88-dim global vector to BOTH
     frozen models alongside its noised windows.  The reference's
@@ -79,12 +119,12 @@ def evaluate_cloaked_test(
 
     ``mesh``: optional 1-D data mesh — test utterances are sharded on the
     batch axis and the vote runs SPMD (the program is a pure map, so XLA
-    partitions the forward and replicates the closed-over frozen weights;
-    no collectives are needed).  Numerics are unchanged vs single-device
-    for ANY mesh size: batch boundaries stay at ``batch_size`` and only
-    zero PAD rows are appended to reach a device multiple, so every real
-    row sees the same program as single-device.  (The cloak noise itself
-    is a single shared (win_len, n_feats) draw per call from a fixed key —
+    partitions the forward and replicates the frozen weights; no
+    collectives are needed).  Numerics are unchanged vs single-device for
+    ANY mesh size: batch boundaries stay at ``batch_size`` and only zero
+    PAD rows are appended to reach a device multiple, so every real row
+    sees the same program as single-device.  (The cloak noise itself is a
+    single shared (win_len, n_feats) draw per call from a fixed key —
     CloakNoise broadcasts one sample over all windows — so it is
     independent of batching either way.)
     """
@@ -94,20 +134,11 @@ def evaluate_cloaked_test(
         n_dev = int(mesh.devices.size)
         pad_to = -(-batch_size // n_dev) * n_dev
 
-    # ONE pass: noise each window once, feed BOTH frozen models, per-head
-    # softmax inside the vote (reference computes noisy once and runs both,
-    # adversary_cloak_evaluation.py:78-83)
-    def joint_logits(params, stats, wins, g):
-        noised = noise_apply(wins, mask, rng)
-        return jnp.concatenate(
-            [emotion_logits_fn(noised, g), adversary_logits_fn(noised, g)],
-            axis=-1,
-        )
-
-    n_emo = 4
-    vote = make_sliding_vote_fn(
-        joint_logits, win_len, shift_len, head_sizes=(n_emo, 2)
-    )
+    n_feats = test.windows.shape[2]
+    mask_arr = (jnp.ones((win_len, n_feats), jnp.float32) if mask is None
+                else jnp.asarray(mask, jnp.float32))
+    vote = _cached_joint_vote(joint_logits_fn, win_len, shift_len,
+                              (n_emo, n_adv))
 
     emo_preds, adv_preds = [], []
     n = len(test)
@@ -132,7 +163,7 @@ def evaluate_cloaked_test(
             lengths = jax.device_put(jnp.asarray(lengths), row)
             if g is not None:
                 g = jax.device_put(jnp.asarray(g), row)
-        p, _ = vote(None, None, specs, lengths, g)
+        p, _ = vote((fn_params, mask_arr, rng), None, specs, lengths, g)
         p = np.asarray(p)
         emo_preds.append(np.argmax(p[: hi - lo, :n_emo], -1))
         adv_preds.append(np.argmax(p[: hi - lo, n_emo:], -1))
@@ -149,6 +180,19 @@ def evaluate_cloaked_test(
         "rec": M.uar(test.labels_gen, adv_preds),
         "conf": M.confusion(test.labels_gen, adv_preds),
     }
+    corpora = sorted(set(test.datasets.tolist()))
+    if len(corpora) > 1:  # combine mode: per-corpus rows (:277-294)
+        for res, truth, preds in (
+            (baseline, test.labels_emo, emo_preds),
+            (adversary, test.labels_gen, adv_preds),
+        ):
+            res["per_dataset"] = {}
+            for ds in corpora:
+                sel = test.datasets == ds
+                res["per_dataset"][ds] = {
+                    "acc": M.accuracy(truth[sel], preds[sel]),
+                    "rec": M.uar(truth[sel], preds[sel]),
+                }
     return baseline, adversary
 
 
@@ -171,7 +215,12 @@ class SweepRow:
 def sweep_to_rows(
     per_fold: dict[int, list[tuple[dict, dict]]], dataset: str
 ) -> list[SweepRow]:
-    """Aggregate {ratio: [(baseline, adversary) per fold]} into CSV rows."""
+    """Aggregate {ratio: [(baseline, adversary) per fold]} into CSV rows.
+
+    Combine mode additionally emits one row per constituent corpus from the
+    results' ``per_dataset`` breakdown — the reference writes
+    ``suppression_ratio_<r>_`` + each of combine/iemocap/crema-d/msp-improv
+    (adversary_cloak_evaluation.py:277-294)."""
     rows = []
     for ratio, fold_results in per_fold.items():
         rows.append(
@@ -184,6 +233,25 @@ def sweep_to_rows(
                 adv_rec=float(np.mean([a["rec"] for _, a in fold_results])),
             )
         )
+        corpora = sorted({
+            ds for b, _ in fold_results for ds in b.get("per_dataset", {})
+        })
+        for ds in corpora:
+            picked = [
+                (b["per_dataset"][ds], a["per_dataset"][ds])
+                for b, a in fold_results
+                if ds in b.get("per_dataset", {})
+            ]
+            rows.append(
+                SweepRow(
+                    suppression_ratio=ratio,
+                    dataset=ds,
+                    baseline_acc=float(np.mean([b["acc"] for b, _ in picked])),
+                    baseline_rec=float(np.mean([b["rec"] for b, _ in picked])),
+                    adv_acc=float(np.mean([a["acc"] for _, a in picked])),
+                    adv_rec=float(np.mean([a["rec"] for _, a in picked])),
+                )
+            )
     return rows
 
 

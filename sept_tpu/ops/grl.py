@@ -6,9 +6,12 @@ pass, ``-lambda * grad`` on the backward pass.  Used to fold the adversary's
 gender loss into the cloak's noise parameters with reversed sign so the whole
 minimax game runs in one fused backward (training_cloak_with_grl.py:141-162).
 
-``lambda_`` may be a Python float or a jax scalar; it is treated as
-non-differentiable (matching the reference, where lambda is a constant
-hyperparameter — training_cloak_with_grl.py:227).
+``lambda_`` must be a STATIC Python float (it rides in
+``nondiff_argnums``, so a traced jax scalar would fail to hash at the
+custom_vjp boundary) — matching the reference, where lambda is a constant
+hyperparameter (training_cloak_with_grl.py:227).  A traced/scheduled
+lambda would need the value moved into the differentiable args with a
+``stop_gradient``; no in-repo caller wants that.
 """
 
 from __future__ import annotations

@@ -36,8 +36,12 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host init over DCN (no-op for single-process)."""
+    """Multi-host init over DCN (no-op for single-process or if already
+    initialized — setup_seed() performs the init before any backend use,
+    and this keeps later explicit calls harmless)."""
     if num_processes and num_processes > 1:
+        if jax.distributed.is_initialized():
+            return
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 

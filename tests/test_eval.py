@@ -105,15 +105,41 @@ def test_evaluate_cloaked_test_consumes_globals():
     test2.windows[:] = test1.windows
 
     kw = dict(win_len=win, shift_len=win // 2, batch_size=4, use_global=True)
-    noise = lambda wins, mask, key: wins  # identity cloak: isolate the globals
-    b1, _ = evaluate_cloaked_test(noise, logits, lambda w_, g: logits(w_, g)[:, :2],
-                                  test1, None, **kw)
-    b2, _ = evaluate_cloaked_test(noise, logits, lambda w_, g: logits(w_, g)[:, :2],
-                                  test2, None, **kw)
+    traces = {"n": 0}
+
+    def joint(fn_params, wins, g, mask, key):
+        # identity cloak: isolate the globals; fn_params carries the head
+        traces["n"] += 1  # increments per TRACE, not per call
+        out = logits(wins, g)
+        return jnp.concatenate([out, out[:, :2]], axis=-1)
+
+    b1, _ = evaluate_cloaked_test(joint, None, test1, None, **kw)
+    b2, _ = evaluate_cloaked_test(joint, None, test2, None, **kw)
     # scaled globals must move the vote; identical call twice must not
-    b1b, _ = evaluate_cloaked_test(noise, logits,
-                                   lambda w_, g: logits(w_, g)[:, :2],
-                                   test1, None, **kw)
+    b1b, _ = evaluate_cloaked_test(joint, None, test1, None, **kw)
+    # the whole sweep shares ONE compiled vote: same fn identity + shapes
+    # must not retrace per call (the old closure-per-cell design recompiled
+    # the full two-backbone forward for every (ratio, fold) pair)
+    assert traces["n"] == 1, traces["n"]
     assert b1["acc"] == b1b["acc"] and b1["rec"] == b1b["rec"]
     np.testing.assert_array_equal(b1["conf"], b1b["conf"])
     assert not np.array_equal(b1["conf"], b2["conf"])
+
+
+def test_uar_counts_pred_only_classes_like_sklearn():
+    """sklearn macro recall averages over the UNION of truth and pred
+    labels (the reference metric, training_tools.py:142): a class appearing
+    only in predictions contributes recall 0.  Averaging over truth-present
+    classes only inflated UAR for degenerate models."""
+    from sklearn.metrics import recall_score
+
+    from sept_tpu.eval import uar
+
+    truth = np.asarray([0, 0, 1, 1])
+    pred = np.asarray([0, 1, 1, 2])  # class 2 never occurs in truth
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        expect = recall_score(truth, pred, average="macro")
+    assert uar(truth, pred) == pytest.approx(expect)  # (0.5+0.5+0)/3

@@ -401,8 +401,14 @@ def test_dp_evaluation_sweep_matches_single_device():
         "rhos": jnp.linspace(-2, 2, win * D).reshape(win, D),
     }}
 
-    def noise_apply(wins, m, rng):
-        return noise.apply(nparams, wins[..., 0], m, rngs={"noise": rng})[..., None]
+    def joint(fn_params, wins, g, m, rng):
+        nvars, mv, av = fn_params
+        noised = noise.apply(nvars, wins[..., 0], m,
+                             rngs={"noise": rng})[..., None]
+        return jnp.concatenate([
+            emo_fn(mv["params"], mv["batch_stats"], noised, g),
+            adv_fn(av["params"], av["batch_stats"], noised, g),
+        ], axis=-1)
 
     rng = np.random.default_rng(0)
     test = SplitArrays(
@@ -420,9 +426,7 @@ def test_dp_evaluation_sweep_matches_single_device():
 
     def run(mesh, batch_size=8):
         return evaluate_cloaked_test(
-            noise_apply,
-            lambda w, g: emo_fn(vm["params"], vm["batch_stats"], w, g),
-            lambda w, g: adv_fn(va["params"], va["batch_stats"], w, g),
+            joint, (nparams, vm, va),
             test, mask, win_len=win, shift_len=5, batch_size=batch_size,
             mesh=mesh,
         )
