@@ -111,7 +111,14 @@ def main():
     _progress(f"probe done: fallback={fallback} forced_cpu={forced_cpu}")
     import jax
 
-    if forced_cpu or fallback:
+    if forced_cpu:
+        # one canonical env-driven pin implementation (cli.common)
+        from sept_tpu.cli.common import pin_cpu_platform
+
+        pin_cpu_platform()
+    elif fallback:
+        # probe-driven fallback: the env did NOT request CPU, so pin
+        # explicitly here
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
@@ -319,8 +326,7 @@ def main():
     # representative), so the fallback headline uses the XLA f32 model.
     if on_cpu:
         headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion")
-        headline_mode = ("f32 XLA featurize+epoch on the CPU backend "
-                         "(JAX_PLATFORMS=cpu diagnostics run)")
+        headline_mode = "f32 XLA featurize+epoch on the CPU backend"
     else:
         headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion",
                                      dtype=jnp.bfloat16,
@@ -434,9 +440,11 @@ def main():
     })
 
     if on_cpu:
+        why = ("forced via JAX_PLATFORMS=cpu" if forced_cpu
+               else "accelerator probe failed; fell back to CPU" if fallback
+               else "no accelerator registered on this host")
         metric = ("featurize+train utterances/sec on the CPU BACKEND "
-                  "(forced via JAX_PLATFORMS=cpu; f32, no fused kernels) — "
-                  "NOT the chip headline")
+                  f"({why}; f32, no fused kernels) — NOT the chip headline")
         unit = "utt/s (cpu)"
     else:
         metric = ("featurize+train utterances/sec/chip (2.5s utts, mel128 +"

@@ -55,7 +55,10 @@ bool parse_wav(const uint8_t* buf, size_t len, WavData* out) {
       channels = rd_u16(buf + pos + 10);
       rate = rd_u32(buf + pos + 12);
       bits = rd_u16(buf + pos + 22);
-      if (fmt == 0xFFFE && chunk_len >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+      // WAVE_FORMAT_EXTENSIBLE: the real format tag sits 24 bytes into
+      // the chunk body — bounds-check the READ position, not just the
+      // declared chunk_len (a truncated file can declare 40 but end early)
+      if (fmt == 0xFFFE && chunk_len >= 40 && pos + 8 + 26 <= len) {
         fmt = rd_u16(buf + pos + 8 + 24);
       }
     } else if (memcmp(buf + pos, "data", 4) == 0) {
@@ -66,6 +69,11 @@ bool parse_wav(const uint8_t* buf, size_t len, WavData* out) {
     pos += 8 + chunk_len + (chunk_len & 1);
   }
   if (!data || !channels || !rate || !bits) return false;
+  // whole-byte sample widths only: bits < 8 (e.g. 4-bit ADPCM) would
+  // truncate bytes_per to 0 and divide by zero below — report unparseable
+  // so the batch decoder records a 0-length row instead of crashing the
+  // worker thread (and with it the whole featurize run)
+  if (bits < 8 || bits % 8) return false;
 
   size_t bytes_per = bits / 8;
   size_t n_frames = data_len / (bytes_per * channels);
@@ -103,7 +111,7 @@ bool parse_wav(const uint8_t* buf, size_t len, WavData* out) {
 }
 
 // --------------------------------------------------------------------------
-// Windowed-sinc resampling (Kaiser beta=14.77, 64 zero crossings / side)
+// Windowed-sinc resampling (Kaiser beta=14.77, 24 zero crossings / side)
 // --------------------------------------------------------------------------
 
 double bessel_i0(double x) {
@@ -131,6 +139,24 @@ void resample(const std::vector<float>& in, int sr_in, int sr_out,
   out->assign(n_out, 0.0f);
   const double width = zeros / (2.0 * cutoff);
 
+  // Precomputed Kaiser window over |frac| in [0, 1]: the direct form calls
+  // bessel_i0 (a ~50-term series) for every tap of every output sample —
+  // ~50 series evaluations per output sample at 44.1k->16k — dominating
+  // decode throughput.  A 4096-entry linearly-interpolated table of the
+  // smooth window is accurate to ~2e-6 (far below the PCM16 quantization
+  // floor the tests check against) and removes ~98% of that work.
+  constexpr int kKaiserLut = 4096;
+  static thread_local std::vector<double> klut;
+  static thread_local double klut_beta = -1.0;
+  if (klut_beta != beta) {
+    klut.resize(kKaiserLut + 1);
+    for (int k = 0; k <= kKaiserLut; k++) {
+      const double f = (double)k / kKaiserLut;
+      klut[k] = bessel_i0(beta * std::sqrt(1.0 - f * f)) / i0b;
+    }
+    klut_beta = beta;
+  }
+
   for (size_t j = 0; j < n_out; j++) {
     const double t_in = (double)j / ratio;  // position in input samples
     const long lo = (long)std::ceil(t_in - width);
@@ -139,10 +165,13 @@ void resample(const std::vector<float>& in, int sr_in, int sr_out,
     for (long i = std::max(0L, lo); i <= std::min((long)in.size() - 1, hi); i++) {
       const double d = (t_in - (double)i) * 2.0 * cutoff;  // sinc argument
       double sinc = (d == 0.0) ? 1.0 : std::sin(M_PI * d) / (M_PI * d);
-      const double frac = (t_in - (double)i) / width;
+      const double frac = std::fabs((t_in - (double)i) / width);
       double kais = 0.0;
-      if (frac > -1.0 && frac < 1.0)
-        kais = bessel_i0(beta * std::sqrt(1.0 - frac * frac)) / i0b;
+      if (frac < 1.0) {
+        const double a = frac * kKaiserLut;
+        const int k0 = std::min((int)a, kKaiserLut - 1);
+        kais = klut[k0] + (a - k0) * (klut[k0 + 1] - klut[k0]);
+      }
       acc += (double)in[i] * sinc * kais;
     }
     (*out)[j] = (float)(acc * 2.0 * cutoff);

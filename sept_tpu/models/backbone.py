@@ -27,6 +27,11 @@ fixed idiomatically:
 - ``two_d_cnn`` has a latent channel mismatch (conv block 5 outputs 32ch,
   block 6 expects 64, :548-552) that crashes if used; ``PlainConv2d`` uses
   64->64 so the model actually runs.
+- BatchNorm running stats use torch's default EMA rate (flax
+  ``momentum=0.9`` = torch ``momentum=0.1``); torch additionally stores
+  the UNBIASED batch variance in the running stat while flax stores the
+  biased one — a factor n/(n-1) on running var, < 2e-6 relative at the
+  conv BNs' n = B*H*W sample counts here, accepted as negligible.
 """
 
 from __future__ import annotations
@@ -136,8 +141,12 @@ def _conv_block(
     """
     x = nn.Conv(features, kernel_size=(5, 5), padding="SAME", name=f"conv{name}",
                 dtype=dtype)(x)
+    # momentum 0.9: the flax-convention equivalent of torch BatchNorm2d's
+    # default momentum=0.1 (ra = 0.9*ra + 0.1*batch) — the reference uses
+    # torch defaults (baseline_models.py:173-185); flax's own default 0.99
+    # would track running stats 10x slower and desync eval-mode behavior
     x = nn.BatchNorm(use_running_average=not train, name=f"bn{name}",
-                     dtype=dtype, axis_name=bn_axis_name)(x)
+                     momentum=0.9, dtype=dtype, axis_name=bn_axis_name)(x)
     x = nn.relu(x)
     if pool:
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
@@ -168,14 +177,16 @@ class _FusedBN0(nn.Module):
     """BatchNorm state for the fused first block (path ``bn0/``).
 
     Mirrors ``nn.BatchNorm(name="bn0")``'s parameters and batch_stats
-    (scale/bias, mean/var, momentum 0.99) while the normalization itself
-    runs inside the fused Pallas kernel; this module owns the running-stat
-    update.  ``run_train(scale, bias) -> (pooled, mean, var)`` and
-    ``run_eval(scale, bias, mean, var) -> pooled`` close over the input.
+    (scale/bias, mean/var, momentum 0.9 = torch BatchNorm2d's default
+    0.1 in flax convention, like _conv_block) while the normalization
+    itself runs inside the fused Pallas kernel; this module owns the
+    running-stat update.  ``run_train(scale, bias) -> (pooled, mean, var)``
+    and ``run_eval(scale, bias, mean, var) -> pooled`` close over the
+    input.
     """
 
     features: int
-    momentum: float = 0.99
+    momentum: float = 0.9
 
     @nn.compact
     def __call__(self, run_train, run_eval, train: bool):
@@ -476,7 +487,9 @@ class PlainConv2d(nn.Module):
         for i, (ch, bn, pool) in enumerate(spec):
             x = nn.Conv(ch, kernel_size=(3, 3), padding="SAME", name=f"conv{i}")(x)
             if bn:
-                x = nn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+                # torch-default running-stat EMA (see _conv_block)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, name=f"bn{i}")(x)
             x = nn.relu(x)
             if pool:
                 x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))

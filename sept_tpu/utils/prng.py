@@ -28,8 +28,13 @@ class KeySeq:
     """A splitting key sequence: ``ks = KeySeq(8); k1 = ks(); k2 = ks('noise')``."""
 
     def __init__(self, seed_or_key):
-        if isinstance(seed_or_key, int):
-            self._key = jax.random.PRNGKey(seed_or_key)
+        import numbers
+
+        # numbers.Integral admits numpy integer seeds (np.int64 from a
+        # Generator or config array is NOT a Python int and would be
+        # stored as a "key", crashing later inside jax.random.split)
+        if isinstance(seed_or_key, numbers.Integral):
+            self._key = jax.random.PRNGKey(int(seed_or_key))
         else:
             self._key = seed_or_key
 

@@ -59,7 +59,14 @@ class StepTimer:
         return False
 
     def summary(self, skip_warmup: int = 1) -> dict:
+        # an empty timer (run errored before the first step) returns zeros
+        # instead of crashing the metrics path; note that when ONLY warmup
+        # samples exist, they are reported as the only signal available —
+        # n tells the consumer how many measurements backed the numbers
         ts = np.asarray(self.times[skip_warmup:] or self.times)
+        if len(ts) == 0:
+            return {"n": 0, "mean_s": 0.0, "p50_s": 0.0, "p90_s": 0.0,
+                    "total_s": 0.0}
         return {
             "n": int(len(ts)),
             "mean_s": float(ts.mean()),
