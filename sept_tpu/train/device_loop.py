@@ -173,6 +173,108 @@ def make_val_pass(apply_logits, use_global: bool = False):
     return val
 
 
+def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
+                    test_epoch, m_total: int, resume_path: Optional[str],
+                    replicate, verbose: bool) -> FitResult:
+    """Shared epoch-loop bookkeeping for both device-resident drivers.
+
+    ``train_epoch(state, order) -> (state, train_loss, train_acc)``,
+    ``val_epoch(state) -> (val_loss, val_acc, val_uar)``,
+    ``test_epoch(state) -> test metrics dict`` close over the workload's
+    splits and compiled programs; everything else — best-state tracking
+    (STRICT > after epoch > min_sel, reference semantics), plateau
+    scaling, early stopping (patience accrues only once selection opens;
+    the ``early_stop_with_sgd`` gate), mid-fold save/restore with
+    identical shuffle replay, and FitResult assembly — lives HERE once, so
+    the baseline and cloak drivers cannot drift apart (they had:
+    fit_device_cloak ignored early_stop_with_sgd for a while).
+    ``replicate`` re-places restored states onto the mesh (identity when
+    single-device).
+    """
+    rng = np.random.default_rng(cfg.seed)
+    early = EarlyStopping(patience=cfg.early_stop_patience)
+    plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
+    # STRICT reference gate (epoch > 10), capped for short smoke runs
+    min_sel = min(cfg.min_select_epoch, cfg.num_epochs - 2)
+
+    best_val_acc, best_epoch = 0.0, 0
+    best_state = state
+    final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
+    history = []
+
+    mid = None
+    if resume_path:
+        from sept_tpu.train.midfold import MidFoldCheckpoint
+
+        mid = MidFoldCheckpoint(resume_path)
+    start_epoch = 0
+    if mid is not None and mid.exists():
+        state, best_loaded, loop = mid.restore(like=state)
+        state = replicate(state)
+        if best_loaded is not None:
+            best_loaded = replicate(best_loaded)
+        start_epoch, best_val_acc, best_epoch, final, history = _loop_restore(
+            loop, early, plateau
+        )
+        if best_loaded is not None:
+            best_state = best_loaded
+        for _ in range(start_epoch):  # replay the shuffle stream
+            rng.permutation(m_total)
+        if verbose:
+            print(f"mid-fold resume: continuing at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        order = jnp.asarray(rng.permutation(m_total))
+        state, train_loss, train_acc = train_epoch(state, order)
+        val_loss, val_acc, val_uar = val_epoch(state)
+        test_m = test_epoch(state)
+        history.append({
+            "train": {"loss": train_loss, "acc": train_acc},
+            "validate": {"loss": val_loss, "acc": val_acc, "uar": val_uar},
+            "test": test_m,
+        })
+
+        if cfg.optimizer == "adam":
+            state = dataclasses.replace(
+                state, opt_state=set_lr_scale(state.opt_state,
+                                              plateau.step(val_loss))
+            )
+        # STRICT >: ties keep the FIRST best epoch, like the reference
+        if val_acc > best_val_acc and epoch > min_sel:
+            best_val_acc, best_epoch, best_state, final = (
+                val_acc, epoch, state, test_m)
+        if verbose:
+            print(
+                f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
+                f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
+                f" uar {test_m['uar']:.3f}"
+            )
+        if epoch > min_sel:  # patience accrues only once selection opens
+            early(val_loss)
+        should_stop = early.should_stop and (
+            cfg.optimizer != "sgd" or cfg.early_stop_with_sgd)
+        if mid is not None and not should_stop:
+            mid.save(state, best_state, _loop_snapshot(
+                epoch, best_val_acc, best_epoch, early, plateau, final, history
+            ))
+        if should_stop:
+            if verbose:
+                print("early stopping")
+            break
+
+    if mid is not None:
+        mid.delete()  # fold complete: the final artifact supersedes it
+    return FitResult(
+        best_state=best_state,
+        best_epoch=best_epoch,
+        best_val_acc=best_val_acc,
+        final_test_acc=final["acc"],
+        final_test_uar=final["uar"],
+        final_confusion=final["conf"],
+        history=history,
+    )
+
+
 def fit_device(
     state,
     model,
@@ -233,110 +335,45 @@ def fit_device(
 
     val_pass = make_val_pass(_val_logits, use_global=cfg.global_feature)
 
-    rng = np.random.default_rng(cfg.seed)
-    early = EarlyStopping(patience=cfg.early_stop_patience)
-    plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
-    # STRICT reference gate (epoch > 10), capped for short smoke runs
-    min_sel = min(cfg.min_select_epoch, cfg.num_epochs - 2)
-
-    best_val_acc, best_epoch = 0.0, 0
-    best_state = state
-    final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
-    history = []
-    m_total = train_ds.n_batches * train_ds.batch_size
-
-    mid = None
-    if resume_path:
-        from sept_tpu.train.midfold import MidFoldCheckpoint
-
-        mid = MidFoldCheckpoint(resume_path)
-    start_epoch = 0
-    if mid is not None and mid.exists():
-        state, best_loaded, loop = mid.restore(like=state)
-        if mesh is not None:
-            from sept_tpu.parallel.epoch_dp import put_replicated
-
-            state = put_replicated(state, mesh)
-            best_loaded = (put_replicated(best_loaded, mesh)
-                           if best_loaded is not None else None)
-        start_epoch, best_val_acc, best_epoch, final, history = _loop_restore(
-            loop, early, plateau
-        )
-        if best_loaded is not None:
-            best_state = best_loaded
-        for _ in range(start_epoch):  # replay the shuffle stream
-            rng.permutation(m_total)
-        if verbose:
-            print(f"mid-fold resume: continuing at epoch {start_epoch}")
-
-    for epoch in range(start_epoch, cfg.num_epochs):
-        order = jnp.asarray(rng.permutation(m_total))
+    def train_epoch(st, order):
         gkw = {"globals_": train_ds.globals} if cfg.global_feature else {}
         if cfg.pred == "multitask":
             gkw["labels_gen"] = train_ds.labels_gen
-        state, losses, correct, counts = run_epoch(
-            state, train_ds.windows, train_ds.labels, train_ds.weights, order,
+        st, losses, correct, counts = run_epoch(
+            st, train_ds.windows, train_ds.labels, train_ds.weights, order,
             n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,
             **gkw,
         )
-        train_loss = float(jnp.mean(losses))
-        train_acc = float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8))
+        return (st, float(jnp.mean(losses)),
+                float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8)))
 
+    def val_epoch(st):
         vkw = {"globals_": val_ds.globals} if cfg.global_feature else {}
         val_loss, val_preds = val_pass(
-            state.params, state.batch_stats, val_ds.windows, val_ds.labels,
+            st.params, st.batch_stats, val_ds.windows, val_ds.labels,
             val_ds.weights, n_batches=val_ds.n_batches,
             batch_size=val_ds.batch_size, **vkw,
         )
-        val_loss = float(val_loss)
         valid = np.asarray(val_ds.weights) > 0
         val_acc, val_uar = _masked_uar(
             np.asarray(val_ds.labels), np.asarray(val_preds), valid
         )
+        return float(val_loss), val_acc, val_uar
 
-        test_m = run_test(logits_fn, state, test_split, cfg)
-        history.append({
-            "train": {"loss": train_loss, "acc": train_acc},
-            "validate": {"loss": val_loss, "acc": val_acc, "uar": val_uar},
-            "test": test_m,
-        })
+    def replicate(st):
+        if mesh is not None:
+            from sept_tpu.parallel.epoch_dp import put_replicated
 
-        if cfg.optimizer == "adam":
-            state = dataclasses.replace(
-                state, opt_state=set_lr_scale(state.opt_state, plateau.step(val_loss))
-            )
-        # STRICT >: ties keep the FIRST best epoch, like the reference
-        if val_acc > best_val_acc and epoch > min_sel:
-            best_val_acc, best_epoch, best_state, final = val_acc, epoch, state, test_m
-        if verbose:
-            print(
-                f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
-                f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
-                f" uar {test_m['uar']:.3f}"
-            )
-        if epoch > min_sel:  # patience accrues only once selection opens
-            early(val_loss)
-        stop_allowed = cfg.optimizer != "sgd" or cfg.early_stop_with_sgd
-        should_stop = early.should_stop and stop_allowed
-        if mid is not None and not should_stop:
-            mid.save(state, best_state, _loop_snapshot(
-                epoch, best_val_acc, best_epoch, early, plateau, final, history
-            ))
-        if should_stop:
-            if verbose:
-                print("early stopping")
-            break
+            return put_replicated(st, mesh)
+        return st
 
-    if mid is not None:
-        mid.delete()  # fold complete: the final artifact supersedes it
-    return FitResult(
-        best_state=best_state,
-        best_epoch=best_epoch,
-        best_val_acc=best_val_acc,
-        final_test_acc=final["acc"],
-        final_test_uar=final["uar"],
-        final_confusion=final["conf"],
-        history=history,
+    return _run_epoch_loop(
+        state, cfg,
+        train_epoch=train_epoch,
+        val_epoch=val_epoch,
+        test_epoch=lambda st: run_test(logits_fn, st, test_split, cfg),
+        m_total=train_ds.n_batches * train_ds.batch_size,
+        resume_path=resume_path, replicate=replicate, verbose=verbose,
     )
 
 
@@ -401,101 +438,38 @@ def fit_device_cloak(
         use_global=cfg.global_feature,
     )
 
-    rng = np.random.default_rng(cfg.seed)
-    early = EarlyStopping(patience=cfg.early_stop_patience)
-    plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
-    # STRICT reference gate (epoch > 10), capped for short smoke runs
-    min_sel = min(cfg.min_select_epoch, cfg.num_epochs - 2)
-
-    best_val_acc, best_epoch = 0.0, 0
-    best_state = state
-    final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
-    history = []
-    m_total = train_ds.n_batches * train_ds.batch_size
-
-    mid = None
-    if resume_path:
-        from sept_tpu.train.midfold import MidFoldCheckpoint
-
-        mid = MidFoldCheckpoint(resume_path)
-    start_epoch = 0
-    if mid is not None and mid.exists():
-        state, best_loaded, loop = mid.restore(like=state)
-        if mesh is not None:
-            state = put_replicated(state, mesh)
-            best_loaded = (put_replicated(best_loaded, mesh)
-                           if best_loaded is not None else None)
-        start_epoch, best_val_acc, best_epoch, final, history = _loop_restore(
-            loop, early, plateau
-        )
-        if best_loaded is not None:
-            best_state = best_loaded
-        for _ in range(start_epoch):
-            rng.permutation(m_total)
-        if verbose:
-            print(f"mid-fold resume: continuing at epoch {start_epoch}")
-
-    for epoch in range(start_epoch, cfg.num_epochs):
-        order = jnp.asarray(rng.permutation(m_total))
+    def train_epoch(st, order):
         gkw = {"globals_": train_ds.globals} if cfg.global_feature else {}
-        state, losses, correct, counts = run_epoch(
-            state, train_ds.windows, train_ds.labels_emo, train_ds.labels_gen,
+        st, losses, correct, counts = run_epoch(
+            st, train_ds.windows, train_ds.labels_emo, train_ds.labels_gen,
             train_ds.weights, order, mask_j,
             n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,
             **gkw,
         )
-        train_loss = float(jnp.mean(losses))
-        train_acc = float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8))
+        return (st, float(jnp.mean(losses)),
+                float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8)))
 
+    def val_epoch(st):
         vkw = {"globals_": val_ds.globals} if cfg.global_feature else {}
         val_loss, val_preds = val_pass(
-            state.params, state.batch_stats, val_ds.windows,
+            st.params, st.batch_stats, val_ds.windows,
             val_ds.labels_emo, val_ds.weights, n_batches=val_ds.n_batches,
             batch_size=val_ds.batch_size, **vkw,
         )
-        val_loss = float(val_loss)
         valid = np.asarray(val_ds.weights) > 0
         val_acc, val_uar = _masked_uar(
             np.asarray(val_ds.labels_emo), np.asarray(val_preds), valid
         )
-        test_m = run_test(eval_logits_fn, state, test_split, cfg)
-        history.append({
-            "train": {"loss": train_loss, "acc": train_acc},
-            "validate": {"loss": val_loss, "acc": val_acc, "uar": val_uar},
-            "test": test_m,
-        })
-        if cfg.optimizer == "adam":
-            state = dataclasses.replace(
-                state, opt_state=set_lr_scale(state.opt_state, plateau.step(val_loss))
-            )
-        # STRICT >: ties keep the FIRST best epoch, like the reference
-        if val_acc > best_val_acc and epoch > min_sel:
-            best_val_acc, best_epoch, best_state, final = val_acc, epoch, state, test_m
-        if verbose:
-            print(
-                f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
-                f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
-            )
-        if epoch > min_sel:  # patience accrues only once selection opens
-            early(val_loss)
-        # same gate as fit()/fit_device (cloak presets keep
-        # early_stop_with_sgd=True: the reference cloak trainer always
-        # breaks, training_cloak.py:440 — but the CONFIG decides)
-        should_stop = early.should_stop and (
-            cfg.optimizer != "sgd" or cfg.early_stop_with_sgd)
-        if mid is not None and not should_stop:
-            mid.save(state, best_state, _loop_snapshot(
-                epoch, best_val_acc, best_epoch, early, plateau, final, history
-            ))
-        if should_stop:
-            if verbose:
-                print("early stopping")
-            break
+        return float(val_loss), val_acc, val_uar
 
-    if mid is not None:
-        mid.delete()
-    return FitResult(
-        best_state=best_state, best_epoch=best_epoch, best_val_acc=best_val_acc,
-        final_test_acc=final["acc"], final_test_uar=final["uar"],
-        final_confusion=final["conf"], history=history,
+    def replicate(st):
+        return put_replicated(st, mesh) if mesh is not None else st
+
+    return _run_epoch_loop(
+        state, cfg,
+        train_epoch=train_epoch,
+        val_epoch=val_epoch,
+        test_epoch=lambda st: run_test(eval_logits_fn, st, test_split, cfg),
+        m_total=train_ds.n_batches * train_ds.batch_size,
+        resume_path=resume_path, replicate=replicate, verbose=verbose,
     )
