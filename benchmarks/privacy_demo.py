@@ -226,24 +226,34 @@ def main():
     }
 
     # preserve blocks from a previous run when only one mode is re-measured
+    # — but ONLY when the protocol (fold subset, preset) matches: otherwise
+    # the kept block would be silently misattributed to the new run's folds
+    # and its retention ratios would no longer match the recomputed clean
+    # baseline
     demo_path = os.path.join(sweep_dir, f"privacy_demo{tag}.json")
+    protocol = ("adversary_cloak_evaluation.py:113-299 (ratio-matched "
+                f"cloaks, eval-direction sweep masks, folds {fold_ids})")
     result = {}
     if os.path.exists(demo_path):
         with open(demo_path) as f:
-            result = json.load(f)
-        if "sweep" in result:  # migrate the round-2 single-mode schema:
+            prev = json.load(f)
+        if "sweep" in prev:  # migrate the round-2 single-mode schema:
             # that run trained with the extensions (see git history)
-            result["extended_mode"] = {
+            prev["extended_mode"] = {
                 "trainer": "framework extensions: antithetic + "
                            "saliency_align 5.0 + eval-direction masks",
-                "sweep": result.pop("sweep"),
-                "best_privacy_point": result.pop("best_privacy_point"),
-                "privacy_gain_uar": result.pop("privacy_gain_uar"),
+                "sweep": prev.pop("sweep"),
+                "best_privacy_point": prev.pop("best_privacy_point"),
+                "privacy_gain_uar": prev.pop("privacy_gain_uar"),
             }
+        if prev.get("protocol", protocol) == protocol:
+            result = prev
+        else:
+            print(f"== protocol changed ({prev.get('protocol')!r} -> "
+                  f"{protocol!r}): not merging the previous run's mode "
+                  "blocks ==", flush=True)
     result.update({
-        "protocol": "adversary_cloak_evaluation.py:113-299 (ratio-matched "
-                    "cloaks, eval-direction sweep masks, "
-                    f"folds {fold_ids})",
+        "protocol": protocol,
         "corpus": (f"synthetic_hard (make_hard_corpus: "
                    f"{corpus_args[1]} speakers x {corpus_args[3]} utts)"),
         "preset": preset,

@@ -81,9 +81,15 @@ def main():
     server = PredictionServer(predictor(), port=0)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     base = f"http://{server.host}:{server.port}"
-    # warm every bucket used below: rows 1 and 8
+    # warm every (bucket, dtype) program used below: _predict jit-
+    # specializes on input dtype (int16 PCM stages stay int16 across
+    # host->device), so float warmup does NOT warm the pcm16 programs —
+    # the first timed pcm16 request would pay a full multi-minute tunnel
+    # compile, inflating p90 by orders of magnitude
     _post(base, {"waveforms": [floats[0].tolist()]})
     _post(base, {"waveforms": [w.tolist() for w in floats]})
+    _post(base, {"waveforms_pcm16": [b64[0]]})
+    _post(base, {"waveforms_pcm16": b64})
 
     for key, body in (
         ("single_float", lambda i: {"waveforms": [floats[i % 8].tolist()]}),
@@ -121,12 +127,16 @@ def main():
 
     def fire(i, out):
         t0 = time.perf_counter()
-        _post(base, {"waveforms_pcm16": [b64[i]]})
+        try:
+            _post(base, {"waveforms_pcm16": [b64[i]]})
+        except Exception as e:  # a failed request must not masquerade as
+            print(f"concurrent request {i} failed: {e}", flush=True)
+            return  # ...a 0.0 ms latency in the stats
         out[i] = (time.perf_counter() - t0) * 1e3
 
     best_total, lat = None, None
     for _ in range(max(args.n // 6, 3)):
-        out = [0.0] * 8
+        out = [float("nan")] * 8
         t0 = time.perf_counter()
         threads = [threading.Thread(target=fire, args=(i, out))
                    for i in range(8)]
@@ -137,9 +147,12 @@ def main():
         total = (time.perf_counter() - t0) * 1e3
         if best_total is None or total < best_total:
             best_total, lat = total, out
+    ok_lat = [x for x in lat if np.isfinite(x)]
     result["concurrent8_microbatch"] = {
         "total_ms": round(best_total, 1),
-        "per_request_p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "requests_ok": len(ok_lat),
+        "per_request_p50_ms": (
+            round(float(np.percentile(ok_lat, 50)), 1) if ok_lat else None),
         "vs_sequential": round(result["seq8_total_ms"] / best_total, 2),
     }
     m = json.load(urllib.request.urlopen(f"{base}/metrics"))

@@ -48,7 +48,14 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        try:
+            stale = (not os.path.exists(_SO)
+                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        except OSError:
+            # csrc/ absent (shipped build/ without the source tree): use
+            # the existing .so if there is one, else the numpy fallback
+            stale = not os.path.exists(_SO)
+        if stale:
             if not _compile():
                 _lib = False
                 return _lib
@@ -114,11 +121,18 @@ def _decode_fallback(path: str, target_sr: int):
 
 
 def decode_wav(path: str, target_sr: int = 16000, max_seconds: float = 120.0):
-    """Decode one WAV to mono float32 at ``target_sr``.  Returns (wave, sr)."""
+    """Decode one WAV to mono float32 at ``target_sr``.  Returns (wave, sr).
+
+    ``max_seconds`` caps the OUTPUT at exactly ``max_seconds * target_sr``
+    samples on every path (native, numpy fallback, and decode_batch agree)
+    — the cap used to depend on which decoder ran, so the same corpus
+    produced different window counts across hosts.
+    """
+    max_len = int(max_seconds * target_sr)
     lib = _load()
     if not lib:
-        return _decode_fallback(path, target_sr)
-    max_len = int(max_seconds * max(target_sr, 48000))
+        w, sr = _decode_fallback(path, target_sr)
+        return w[:max_len], sr
     buf = np.zeros(max_len, dtype=np.float32)
     out_len = ctypes.c_int64(0)
     out_sr = ctypes.c_int(0)
@@ -144,7 +158,7 @@ def decode_batch(
     """
     lib = _load()
     if not lib:
-        out, lens = [], []
+        lens = []
         max_len = int(max_seconds * target_sr)
         mat = np.zeros((len(paths), max_len), dtype=np.float32)
         for i, p in enumerate(paths):

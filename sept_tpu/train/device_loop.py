@@ -199,6 +199,11 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
 
     best_val_acc, best_epoch = 0.0, 0
     best_state = state
+    # the in-memory best (initially the pre-training state) has not been
+    # persisted yet; once written, unchanged bests are NOT re-serialized
+    # every epoch (a full TrainState Orbax write per epoch, doubling
+    # checkpoint I/O — midfold.save(best=None) keeps the prior best_dir)
+    best_dirty = True
     final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
     history = []
 
@@ -218,6 +223,7 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
         )
         if best_loaded is not None:
             best_state = best_loaded
+            best_dirty = False  # the on-disk best is already current
         for _ in range(start_epoch):  # replay the shuffle stream
             rng.permutation(m_total)
         if verbose:
@@ -243,6 +249,7 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
         if val_acc > best_val_acc and epoch > min_sel:
             best_val_acc, best_epoch, best_state, final = (
                 val_acc, epoch, state, test_m)
+            best_dirty = True
         if verbose:
             print(
                 f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
@@ -254,9 +261,10 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
         should_stop = early.should_stop and (
             cfg.optimizer != "sgd" or cfg.early_stop_with_sgd)
         if mid is not None and not should_stop:
-            mid.save(state, best_state, _loop_snapshot(
+            mid.save(state, best_state if best_dirty else None, _loop_snapshot(
                 epoch, best_val_acc, best_epoch, early, plateau, final, history
             ))
+            best_dirty = False
         if should_stop:
             if verbose:
                 print("early stopping")
