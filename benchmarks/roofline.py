@@ -36,9 +36,15 @@ one fresh compile (minutes over a cold tunnel) — budget accordingly.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python benchmarks/roofline.py` from the repo root without an
+# installed package (same convention as serving_bench.py / privacy_demo.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_BF16_PEAK = 197e12   # FLOP/s
 V5E_F32_PEAK = 49e12     # FLOP/s (MXU f32 rate is 1/4 the bf16 rate)
