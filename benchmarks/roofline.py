@@ -129,6 +129,10 @@ def main():
     ap.add_argument("--analytic", action="store_true",
                     help="print the hand-counted floors vs round-2 "
                     "measured step times; needs no accelerator")
+    ap.add_argument("--skip_modes", action="store_true",
+                    help="skip the four mode rows and run only the "
+                    "--batches sweep (extending an earlier run without "
+                    "re-paying the mode compiles)")
     args = ap.parse_args()
     if args.analytic:
         analytic()
@@ -228,8 +232,9 @@ def main():
         ("bf16_fused1_remat", dict(dtype=jnp.bfloat16,
                                    conv_backend="fused1", remat=True)),
     ]
-    for name, kw in modes:
-        measure(name, kw, BATCH)
+    if not args.skip_modes:
+        for name, kw in modes:
+            measure(name, kw, BATCH)
     for b in batch_sweep:
         if b != BATCH and m_total % b == 0:
             measure("bf16_fused1", dict(dtype=jnp.bfloat16,

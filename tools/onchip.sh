@@ -12,9 +12,10 @@
 #              .jax_cache/, then with the default budget to validate the
 #              exact driver scenario warm
 #   roofline - benchmarks/roofline.py --batches 64 128 (bytes-vs-FLOPs
-#              accounting + the batch headroom probe + the remat mode —
-#              the top remaining lever per ARCHITECTURE.md §2b′; if
-#              bf16_fused1_remat wins, adopt via the trainers' --remat 1)
+#              accounting + batch/remat probes; both MEASURED 2026-08-19,
+#              results in benchmarks/roofline_onchip.jsonl and
+#              ARCHITECTURE.md §2b′ — remat rejected, batch knee at 128.
+#              Re-run only to refresh the artifact)
 #   serving  - benchmarks/serving_bench.py against the chip (replaces the
 #              CPU-backend JSON; VERDICT r2 item 2)
 #   smoke    - tests_tpu/ hardware lane (Pallas/Mosaic kernels, parity)
