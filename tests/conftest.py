@@ -27,6 +27,14 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
 
+# Persistent compile cache (repo-local .jax_cache/cpu_<fingerprint>): the
+# fast lane is compile-bound on this one-core box (~70% of its wall clock is
+# XLA:CPU compiles of the same programs every run), so repeat runs drop from
+# ~4-5 min to well under the 2-minute lane budget once the cache is warm.
+from sept_tpu.cli.common import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 @pytest.fixture
 def rng():
