@@ -27,13 +27,13 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
 
-# Persistent compile cache (repo-local .jax_cache/cpu_<fingerprint>): the
-# fast lane is compile-bound on this one-core box (~70% of its wall clock is
-# XLA:CPU compiles of the same programs every run), so repeat runs drop from
-# ~4-5 min to well under the 2-minute lane budget once the cache is warm.
-from sept_tpu.cli.common import enable_compile_cache  # noqa: E402
-
-enable_compile_cache()
+# NOTE on the persistent compile cache: wiring enable_compile_cache() here
+# cuts a warm fast-lane run 4:14 -> 2:19, but XLA:CPU AOT reload on this box
+# logs machine-feature mismatches (+prefer-no-scatter/+prefer-no-gather) and
+# was observed to perturb test_dp_scanned_epoch_matches_single_device by
+# 4.4e-6 (atol 3e-6) — cache-loaded code is not bit-identical to fresh-JIT
+# code.  Numerical-equivalence tests must run against fresh compiles, so the
+# test lane deliberately does NOT enable the cache.
 
 
 @pytest.fixture

@@ -150,8 +150,13 @@ def test_dp_scanned_epoch_matches_single_device():
     np.testing.assert_allclose(np.asarray(n8), np.asarray(n1), atol=1e-6)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    # batch_stats tolerance is looser than params: sync-BN under DP computes
+    # per-shard moments then pmeans them, a different f32 summation order
+    # than the single-device one-pass moments; the epsilon depends on the
+    # host's XLA:CPU vectorization (measured 4.4e-6 on one host, <3e-6 on
+    # another, values O(1)).
     for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s8.batch_stats)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
 @pytest.mark.parametrize("use_global", [False, True])
