@@ -92,13 +92,18 @@ def enable_compile_cache(path: str | None = None) -> None:
         pass
 
 
-def setup_seed(seed: int = 8, prng_impl: str | None = None) -> np.random.Generator:
+def setup_seed(seed: int = 8, prng_impl: str | None = None,
+               distributed: bool = False) -> np.random.Generator:
     """Global determinism (the reference's setup_seed(8),
     utils/training_tools.py:69-74); JAX randomness is threaded explicitly.
     Also enables the persistent compile cache (idempotent) and honors a
     JAX_PLATFORMS=cpu request (environments whose sitecustomize registers an
     accelerator plugin pin platform selection, so the env var alone is not
     enough — an explicit config update before first backend use is).
+
+    ``distributed=True`` (mesh-consuming CLIs only) additionally performs
+    multi-host DCN init from ``SEPT_COORDINATOR``/``SEPT_NUM_PROCESSES``/
+    ``SEPT_PROCESS_ID`` before any backend use.
 
     ``prng_impl='rbg'`` switches jax's default PRNG to the hardware RBG
     generator — measured ~5% faster training epochs on v5e (threefry key
@@ -111,15 +116,20 @@ def setup_seed(seed: int = 8, prng_impl: str | None = None) -> np.random.Generat
     # multi-host DCN init MUST precede any backend use — and
     # enable_compile_cache() below touches jax.default_backend() to scope
     # the cache dir, which would initialize local-only backends and make
-    # the later jax.distributed.initialize in resolve_mesh() fail
+    # the later jax.distributed.initialize in resolve_mesh() fail.  Only
+    # the mesh-consuming CLIs (train_baseline / train_cloak / evaluate)
+    # pass ``distributed=True``: a single-process tool (featurize, predict,
+    # serve) run in a shell with the multi-host env still exported must NOT
+    # block waiting for peer processes that will never connect.  Missing
+    # companion vars default to a single-process no-op rather than KeyError.
     coord = os.environ.get("SEPT_COORDINATOR")
-    if coord:
+    if distributed and coord:
         from sept_tpu.parallel import init_distributed
 
         init_distributed(
             coord,
-            int(os.environ["SEPT_NUM_PROCESSES"]),
-            int(os.environ["SEPT_PROCESS_ID"]),
+            int(os.environ.get("SEPT_NUM_PROCESSES", "1")),
+            int(os.environ.get("SEPT_PROCESS_ID", "0")),
         )
     if prng_impl:
         import jax

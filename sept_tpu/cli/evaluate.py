@@ -34,7 +34,7 @@ def main(argv=None):
     p.add_argument("--grl", type=int, default=0)
     p.add_argument("--ratios", type=int, nargs="*", default=[0, 20, 40, 60, 80])
     args = p.parse_args(argv)
-    setup_seed(args.seed, getattr(args, "prng_impl", None))
+    setup_seed(args.seed, getattr(args, "prng_impl", None), distributed=True)
     mesh = resolve_mesh(args)  # --n_devices: shard test batches over a mesh
     cfg = config_from_args(args, grl=bool(args.grl))
     cfg.noise_max_scale = 5.0  # eval-time max scale (:205)

@@ -134,7 +134,7 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="skip folds whose checkpoint already exists")
     args = p.parse_args(argv)
-    setup_seed(args.seed, getattr(args, "prng_impl", None))
+    setup_seed(args.seed, getattr(args, "prng_impl", None), distributed=True)
     cfg = config_from_args(args)
     if args.learning_rate is None:
         cfg.learning_rate = 1e-4 if cfg.optimizer == "sgd" else 5e-5

@@ -98,6 +98,21 @@ def _masked_uar(truth: np.ndarray, preds: np.ndarray, valid: np.ndarray):
     return M.accuracy(t, p), M.uar(t, p)
 
 
+def _spk_weight_vec(split: SplitArrays, spk_weights: Optional[dict]):
+    """Per-row combine-mode loss weights (reference ``weights[speaker_id]``,
+    training_adversary_baselines.py:178 — applied in BOTH training and
+    validate modes, so the val split gets a vector too)."""
+    if spk_weights is None:
+        return None
+    return np.array(
+        [
+            spk_weights.get(f"{s}_{d}", 1.0)
+            for s, d in zip(split.speaker_ids, split.datasets)
+        ],
+        dtype=np.float32,
+    )
+
+
 def _loop_snapshot(epoch, best_val_acc, best_epoch, early, plateau, final,
                    history):
     """Host bookkeeping -> JSON-able dict (see train.midfold)."""
@@ -310,17 +325,10 @@ def fit_device(
     deleted automatically when the fold completes.
     """
     label_key = "labels_gen" if cfg.pred == "gender" else "labels_emo"
-    extra = None
-    if spk_weights is not None:
-        extra = np.array(
-            [
-                spk_weights.get(f"{s}_{d}", 1.0)
-                for s, d in zip(train_split.speaker_ids, train_split.datasets)
-            ],
-            dtype=np.float32,
-        )
-    train_ds = DeviceSplit(train_split, label_key, cfg.batch_size, extra, mesh)
-    val_ds = DeviceSplit(val_split, label_key, cfg.batch_size, mesh=mesh)
+    train_ds = DeviceSplit(train_split, label_key, cfg.batch_size,
+                           _spk_weight_vec(train_split, spk_weights), mesh)
+    val_ds = DeviceSplit(val_split, label_key, cfg.batch_size,
+                         _spk_weight_vec(val_split, spk_weights), mesh=mesh)
 
     pooling = pooling_for(cfg.model_type)
     if mesh is not None:
@@ -407,17 +415,10 @@ def fit_device_cloak(
     ``mesh``: data-parallel scanned epochs (see fit_device).
     ``resume_path``: mid-fold epoch-level checkpoint/resume (see fit_device).
     """
-    extra = None
-    if spk_weights is not None:
-        extra = np.array(
-            [
-                spk_weights.get(f"{s}_{d}", 1.0)
-                for s, d in zip(train_split.speaker_ids, train_split.datasets)
-            ],
-            dtype=np.float32,
-        )
-    train_ds = DeviceSplit(train_split, "labels_emo", cfg.batch_size, extra, mesh)
-    val_ds = DeviceSplit(val_split, "labels_emo", cfg.batch_size, mesh=mesh)
+    train_ds = DeviceSplit(train_split, "labels_emo", cfg.batch_size,
+                           _spk_weight_vec(train_split, spk_weights), mesh)
+    val_ds = DeviceSplit(val_split, "labels_emo", cfg.batch_size,
+                         _spk_weight_vec(val_split, spk_weights), mesh=mesh)
     mask_j = None if mask is None else jnp.asarray(mask)
 
     runner_opts = dict(

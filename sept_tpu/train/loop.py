@@ -142,14 +142,21 @@ def run_eval_epoch(
     split: SplitArrays,
     cfg: ExperimentConfig,
     label_key: Optional[str] = None,
+    spk_weights: Optional[dict] = None,
 ):
-    """Validation pass (eval-mode forward, windowed batches)."""
+    """Validation pass (eval-mode forward, windowed batches).
+
+    ``spk_weights``: combine-mode speaker weights — the reference applies
+    them to the VALIDATE loss too (training_adversary_baselines.py:178 runs
+    in both modes), so the plateau scheduler and early stopping see the
+    weighted statistic."""
     label_key = label_key or (
         "labels_gen" if cfg.pred == "gender" else "labels_emo"
     )
     rng = np.random.default_rng(0)
     losses, all_preds, all_truth, all_w = [], [], [], []
     for batch in batch_iterator(split, cfg.batch_size, rng, shuffle=False):
+        batch = _apply_speaker_weights(batch, spk_weights)
         db = _device_batch(batch)
         logits = logits_fn(
             state.params, state.batch_stats, db["spec"], db.get("global")
@@ -160,7 +167,13 @@ def run_eval_epoch(
         labels = db[label_key]
         w = db["weight"]
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        losses.append(float(jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)))
+        # reference denominator: sum(ce_i*w_i)/len(preds) — speaker weights
+        # scale the numerator only (training_adversary_baselines.py:175-179,
+        # run in validate mode too); dividing by sum(w) shrank combine-mode
+        # val losses by the mean weight and diverged from the device
+        # driver's make_val_pass (device_loop.py:167)
+        n_real = jnp.maximum(jnp.sum((w > 0).astype(jnp.float32)), 1.0)
+        losses.append(float(jnp.sum(nll * w) / n_real))
         all_preds.append(np.asarray(jnp.argmax(logits, -1)))
         all_truth.append(batch[label_key])
         all_w.append(batch["weight"] > 0)
@@ -300,7 +313,8 @@ def fit(
             state, train_m = run_train_epoch(
                 step_fn, state, train_split, cfg, rng, spk_weights, mask
             )
-        val_m = run_eval_epoch(logits_fn, state, val_split, cfg)
+        val_m = run_eval_epoch(logits_fn, state, val_split, cfg,
+                               spk_weights=spk_weights)
         test_m = run_test(logits_fn, state, test_split, cfg)
         history.append({"train": train_m, "validate": val_m, "test": test_m})
 

@@ -186,3 +186,117 @@ def test_manifest_saved_per_fold(tmp_path):
     m1 = json.load(open(os.path.join(base, "manifest_fold1.json")))
     m2 = json.load(open(os.path.join(base, "manifest_fold2.json")))
     assert m1["fold"] == 1 and m2["fold"] == 2
+
+
+def _toy_split(n, speakers, datasets):
+    from sept_tpu.data.pipeline import SplitArrays
+
+    rng = np.random.default_rng(1)
+    return SplitArrays(
+        windows=rng.standard_normal((n, T, D)).astype(np.float32),
+        labels_emo=(np.arange(n) % 4).astype(np.int32),
+        labels_gen=(np.arange(n) % 2).astype(np.int32),
+        lengths=np.full(n, T, np.int32),
+        global_data=np.zeros((n, 88), np.float32),
+        speaker_ids=np.asarray(speakers, object),
+        datasets=np.asarray(datasets, object),
+        utt_ids=np.asarray([f"u{i}" for i in range(n)], object),
+    )
+
+
+def test_eval_epoch_weights_combine_validation_like_reference():
+    """Combine-mode VALIDATION loss must be sum(ce_i*w_i)/len(preds) per
+    batch — the reference's loss block (training_adversary_baselines.py:
+    175-179) runs in validate mode too, so plateau/early-stop see the
+    speaker-weighted statistic.  Previously run_eval_epoch ignored
+    spk_weights entirely and divided by sum(w)."""
+    from sept_tpu.train import ExperimentConfig, run_eval_epoch
+    from sept_tpu.train.steps import TrainState
+
+    n, bsz = 6, 4  # one full batch + one padded (2 real rows)
+    split = _toy_split(n, ["a", "a", "b", "b", "c", "c"], ["iemocap"] * n)
+    spk_w = {"a_iemocap": 2.0, "b_iemocap": 0.25, "c_iemocap": 1.5}
+    proj = np.random.default_rng(2).standard_normal((D, 4)).astype(np.float32)
+
+    def logits_fn(params, batch_stats, spec, g=None):
+        return jnp.mean(spec[..., 0], axis=1) @ jnp.asarray(proj)
+
+    cfg = ExperimentConfig(batch_size=bsz, pred="emotion")
+    state = TrainState(params={}, batch_stats={}, opt_state=None,
+                       rng=KEY, step=jnp.zeros((), jnp.int32))
+    m = run_eval_epoch(logits_fn, state, split, cfg, spk_weights=spk_w)
+
+    logits = np.asarray(split.windows.mean(axis=1) @ proj)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+    nll = -logp[np.arange(n), split.labels_emo]
+    w = np.array([2.0, 2.0, 0.25, 0.25, 1.5, 1.5])
+    expected = np.mean([np.sum(nll[:4] * w[:4]) / 4.0,
+                        np.sum(nll[4:] * w[4:]) / 2.0])
+    assert m["loss"] == pytest.approx(expected, rel=1e-5)
+    # the old statistics it must NOT be
+    wrong_sum_w = np.mean([np.sum(nll[:4] * w[:4]) / np.sum(w[:4]),
+                           np.sum(nll[4:] * w[4:]) / np.sum(w[4:])])
+    unweighted = np.mean([np.mean(nll[:4]), np.mean(nll[4:])])
+    assert abs(m["loss"] - wrong_sum_w) > 1e-6
+    assert abs(m["loss"] - unweighted) > 1e-6
+
+
+def test_device_val_pass_weights_combine_validation():
+    """fit_device's validation epoch must apply the same combine-mode
+    speaker weights as the host path (and divide by the REAL row count,
+    not sum(w)) — previously the val DeviceSplit was built without the
+    weight vector, silently diverging from fit()."""
+    from sept_tpu.train.device_loop import (
+        DeviceSplit,
+        _spk_weight_vec,
+        make_val_pass,
+    )
+
+    n, bsz = 6, 4
+    split = _toy_split(n, ["a", "a", "b", "b", "c", "c"], ["iemocap"] * n)
+    spk_w = {"a_iemocap": 2.0, "b_iemocap": 0.25, "c_iemocap": 1.5}
+    ds = DeviceSplit(split, "labels_emo", bsz,
+                     _spk_weight_vec(split, spk_w))
+    proj = np.random.default_rng(2).standard_normal((D, 4)).astype(np.float32)
+
+    def apply_logits(p, bs, x, g=None):
+        return x.mean(axis=1) @ jnp.asarray(proj)
+
+    val = make_val_pass(apply_logits)
+    loss, _ = val({}, {}, ds.windows, ds.labels, ds.weights,
+                  n_batches=ds.n_batches, batch_size=ds.batch_size)
+
+    logits = np.asarray(split.windows.mean(axis=1) @ proj)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+    nll = -logp[np.arange(n), split.labels_emo]
+    w = np.array([2.0, 2.0, 0.25, 0.25, 1.5, 1.5])
+    expected = np.mean([np.sum(nll[:4] * w[:4]) / 4.0,
+                        np.sum(nll[4:] * w[4:]) / 2.0])
+    assert float(loss) == pytest.approx(expected, rel=1e-5)
+
+
+def test_setup_seed_distributed_is_an_explicit_opt_in(monkeypatch):
+    """A single-process CLI (featurize/predict/serve) run in a shell that
+    still exports the multi-host env must NOT block in
+    jax.distributed.initialize waiting for peers; only the mesh-consuming
+    CLIs opt in via distributed=True.  Partial env (coordinator set,
+    process vars missing) defaults to a single-process no-op instead of
+    KeyError."""
+    from sept_tpu.cli.common import setup_seed
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a: calls.append(a)
+    )
+    monkeypatch.setenv("SEPT_COORDINATOR", "head:9999")
+    monkeypatch.setenv("SEPT_NUM_PROCESSES", "4")
+    monkeypatch.setenv("SEPT_PROCESS_ID", "2")
+    setup_seed()  # default: non-mesh CLI — must not touch DCN
+    assert calls == []
+    setup_seed(distributed=True)
+    assert calls == [("head:9999", 4, 2)]
+    calls.clear()
+    monkeypatch.delenv("SEPT_NUM_PROCESSES")
+    monkeypatch.delenv("SEPT_PROCESS_ID")
+    setup_seed(distributed=True)  # partial env: single-process no-op
+    assert calls == []
