@@ -24,7 +24,8 @@ BUDGET DISCIPLINE (the driver runs this under a hard timeout): the bench is
 structured headline-first.  Only two stages are required to print a result —
 the parity-mode ingest and the production (bf16 + fused-conv) training
 epoch.  Every other variant (bf16 ingest, device functionals, f32 epoch,
-bf16-XLA epoch, the MFU cost-analysis lowering) is an EXTRA, run only while
+bf16-XLA epoch, batch-128 throughput epoch, the MFU cost-analysis
+lowering) is an EXTRA, run only while
 wall-clock headroom remains against ``SEPT_BENCH_BUDGET_S`` (default 420 s)
 and recorded in ``detail`` when it completes; skipped extras are listed in
 ``detail.skipped``.  A subprocess probe with a timeout guards against the
@@ -195,13 +196,25 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return ds, best, warm
 
-    _progress(f"start ingest (n_utts={N_UTTS}, backend={jax.default_backend()})")
+    # Cold-cache detection BEFORE any compile: an empty persistent-cache dir
+    # means every extra would pay a full tunneled-XLA compile — skip them and
+    # spend the budget on the headline.  (Round-2's heuristic inferred
+    # coldness from the first warmup's wall clock, but a degraded tunnel
+    # inflates the warmup with TRANSFER time and misclassified a warm cache
+    # as cold, silently dropping every extra from the driver artifact.)
+    cache_dir = jax.config.jax_compilation_cache_dir
+    try:
+        cold = not (cache_dir and os.listdir(cache_dir))
+    except OSError:
+        cold = True
+
+    _progress(f"start ingest (n_utts={N_UTTS}, backend={jax.default_backend()}"
+              f", cache={'cold' if cold else 'warm'})")
     ds, t_feat, warm_feat = timed_ingest("xla", RESERVE_EPOCH)
     _progress(f"ingest done: warm={warm_feat:.1f}s best={t_feat:.2f}s")
-    # a slow warmup means the compile cache was cold (or the tunnel is
-    # degraded): skip every compile-bearing extra and go straight for the
-    # headline epoch
-    cold = warm_feat > 45.0
+    # pathological warmup (minutes): the cache may be warm but the tunnel is
+    # badly degraded — still bail on the extras and protect the headline
+    cold = cold or warm_feat > 120.0
 
     # ---- extra: the fused Pallas bf16 frontend (transfer-bound => must
     # run before any model program, so it is gated hard) ----
@@ -258,24 +271,29 @@ def main():
     cfg = ExperimentConfig(optimizer="sgd", learning_rate=1e-4,
                            hidden_size=64, batch_size=BATCH)
     tx = make_optimizer(cfg, steps_per_epoch=64)
-    dummy = {
-        "spec": jnp.zeros((BATCH, WIN, D, 1), jnp.float32),
-        "labels_emo": jnp.zeros((BATCH,), jnp.int32),
-        "labels_gen": jnp.zeros((BATCH,), jnp.int32),
-        "global": jnp.zeros((BATCH, 88), jnp.float32),
-        "weight": jnp.ones((BATCH,), jnp.float32),
-    }
 
+    def make_dummy(batch):
+        return {
+            "spec": jnp.zeros((batch, WIN, D, 1), jnp.float32),
+            "labels_emo": jnp.zeros((batch,), jnp.int32),
+            "labels_gen": jnp.zeros((batch,), jnp.int32),
+            "global": jnp.zeros((batch, 88), jnp.float32),
+            "weight": jnp.ones((batch,), jnp.float32),
+        }
+
+    dummy = make_dummy(BATCH)
     m_total = len(ds)
     n_batches = m_total // BATCH
     order = jnp.asarray(np.random.default_rng(0).permutation(m_total))
 
-    def timed_epoch(model, reserve):
+    def timed_epoch(model, reserve, batch=BATCH):
         """init + warmup (compile) + up-to-REPEATS timed epochs."""
-        state = init_state(model, tx, jax.random.PRNGKey(8), dummy)
+        nb = m_total // batch
+        state = init_state(model, tx, jax.random.PRNGKey(8),
+                           make_dummy(batch))
         run_epoch = make_epoch_runner(model, tx)
         out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight, order,
-                        n_batches=n_batches, batch_size=BATCH)  # warmup
+                        n_batches=nb, batch_size=batch)  # warmup
         jax.block_until_ready(out[0].params)
         best = float("inf")
         for _ in range(REPEATS):
@@ -283,7 +301,7 @@ def main():
                 break
             t0 = time.perf_counter()
             out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight,
-                            order, n_batches=n_batches, batch_size=BATCH)
+                            order, n_batches=nb, batch_size=batch)
             jax.block_until_ready(out[0].params)
             best = min(best, time.perf_counter() - t0)
         return state, best
@@ -375,6 +393,33 @@ def main():
         except Exception:
             skipped.append("train_epoch_bf16_xla:error")
 
+    # extra: the batch-128 throughput mode (same production model; the
+    # on-chip batch sweep's knee — docs/ARCHITECTURE.md §2b′: 168.5 µs/utt
+    # at b32 -> 120.9 at b128).  Batch 32 is the reference protocol so the
+    # HEADLINE keeps it; this records what --batch_size 128 buys when
+    # trajectory parity doesn't matter.
+    t_train_b128 = None
+    if on_cpu:
+        skipped.append("train_epoch_b128:cpu_backend")
+    elif cold:
+        skipped.append("train_epoch_b128:cold_cache")
+    elif (m_total // 128) * 128 != m_total or m_total // 128 == 0:
+        # a partial epoch would train fewer windows than the headline's,
+        # inflating utts/sec; only measure when every window fits
+        skipped.append("train_epoch_b128:n_windows_not_divisible")
+    elif remaining() <= 300:
+        # a "warm" cache from an earlier round may still lack THIS program
+        # (the b128 epoch is new), and its first tunneled compile is
+        # unbounded — only attempt it with generous headroom (onchip.sh
+        # seed runs), never inside the driver's tight budget
+        skipped.append("train_epoch_b128:budget")
+    else:
+        try:
+            _progress("start b128 epoch")
+            _, t_train_b128 = timed_epoch(headline_model, 45.0, batch=128)
+        except Exception:
+            skipped.append("train_epoch_b128:error")
+
     # extra: MFU — XLA-counted FLOPs of ONE train step x n_batches /
     # elapsed / peak.  (cost_analysis on the scanned epoch counts the scan
     # body once, not x n_batches, so the per-step program is the honest
@@ -425,6 +470,10 @@ def main():
                               if t_train is not None else None),
         "train_epoch_bf16_xla_s": (round(t_train_bf16, 3)
                                    if t_train_bf16 is not None else None),
+        "train_epoch_b128_s": (round(t_train_b128, 3)
+                               if t_train_b128 is not None else None),
+        "utts_per_sec_b128": (round(N_UTTS / (t_feat + t_train_b128), 2)
+                              if t_train_b128 is not None else None),
         "utts_per_sec_f32": (round(N_UTTS / (t_feat + t_train), 2)
                              if t_train is not None else None),
         "mfu_vs_bf16_peak": (round(flops / t_train_head / V5E_BF16_PEAK, 4)

@@ -321,3 +321,39 @@ def test_int16_pcm_staging_bit_equal_on_chip():
     for u in pcm:
         np.testing.assert_array_equal(ga[u], gb[u])
         np.testing.assert_array_equal(ea[u], eb[u])
+
+
+def test_serving_predictor_on_chip():
+    """The serving program end to end on hardware (serve.py::Predictor —
+    the program serving_bench.json times): the bucketed jit compiles on the
+    real backend, outputs are calibrated probabilities, int16 PCM staging
+    matches the pre-divided float32 path bit-for-bit through the WHOLE
+    serving pipeline (featurize -> normalize -> window -> model -> vote),
+    and the cloaked variant actually perturbs the output."""
+    from sept_tpu.models import Conv2dBiRNN
+    from sept_tpu.serve import CloakedPredictor, Predictor
+
+    d, win = 32, 60
+    model = Conv2dBiRNN(hidden_size=8, pred="emotion")
+    v = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                            jnp.zeros((1, win, d, 1)))
+    kw = dict(hidden_size=8, feature_len=d, win_len=win, shift_len=15)
+    p = Predictor(v["params"], v["batch_stats"], **kw)
+    rng = np.random.default_rng(3)
+    pcm = [np.clip(np.rint(rng.standard_normal(12000 + 2000 * i) * 3000),
+                   -32768, 32767).astype(np.int16) for i in range(3)]
+    probs = p.predict(pcm)
+    assert probs.shape == (3, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    assert (probs >= 0).all()
+    # int16 rows stage at half the H2D bytes and normalize on device; the
+    # 2^-15 scale is exact in f32, so the results must be identical
+    probs_f = p.predict([w.astype(np.float32) / 32768.0 for w in pcm])
+    np.testing.assert_array_equal(probs, probs_f)
+    # the privacy-preserving path: strong noise must move the output
+    noise = {"locs": jnp.zeros((win, d)), "rhos": jnp.full((win, d), 2.0)}
+    cloaked = CloakedPredictor(v["params"], v["batch_stats"],
+                               noise_params=noise, max_scale=5.0,
+                               **kw).predict(pcm)
+    assert cloaked.shape == probs.shape
+    assert float(np.abs(cloaked - probs).max()) > 1e-4
