@@ -57,3 +57,50 @@ def test_batch_decode_threads(tmp_path, rng):
     for i, w in enumerate(waves):
         assert lens[i] == len(w)
         np.testing.assert_allclose(mat[i, : len(w)], w, atol=1.0 / 16000)
+
+
+def test_decoder_rejects_malformed_files_without_crashing(tmp_path, rng):
+    """Adversarial WAV inputs must yield a clean Python error or a valid,
+    bounded decode — never a native crash (which would kill this process)
+    or non-finite/oversized output.  Covers truncations at every header
+    byte, lying chunk sizes, zero/absurd fmt fields, and random garbage
+    with and without the RIFF magic (csrc/septio.cpp parser)."""
+    from sept_tpu.runtime.wavio import decode_wav, write_wav
+
+    base = tmp_path / "ok.wav"
+    write_wav(str(base), (rng.standard_normal(2000) * 0.1).astype(np.float32),
+              8000)
+    data = bytearray(base.read_bytes())
+
+    cases = []
+    for cut in list(range(0, 64)) + [len(data) // 2]:  # truncations
+        cases.append(bytes(data[:cut]))
+    # lying fmt/data chunk sizes (offsets of the canonical 44-byte header)
+    for off, val in [(16, 0xFFFFFFFF), (16, 0), (40, 0xFFFFFFFF)]:
+        m = bytearray(data)
+        m[off:off + 4] = int(val).to_bytes(4, "little")
+        cases.append(bytes(m))
+    # zero channels / zero sample rate / absurd bit widths
+    for off, val, w in [(22, 0, 2), (24, 0, 4), (34, 3, 2), (34, 255, 2)]:
+        m = bytearray(data)
+        m[off:off + w] = int(val).to_bytes(w, "little")
+        cases.append(bytes(m))
+    for _ in range(8):  # random garbage
+        g = rng.integers(0, 256, 512).astype(np.uint8).tobytes()
+        cases.append(g)
+        cases.append(b"RIFF" + g)
+
+    p = tmp_path / "fuzz.wav"
+    decoded = 0
+    for blob in cases:
+        p.write_bytes(blob)
+        try:
+            w, sr = decode_wav(str(p), target_sr=16000, max_seconds=1.0)
+        except Exception:
+            continue  # clean rejection
+        decoded += 1
+        assert len(w) <= 16000
+        assert np.all(np.isfinite(w))
+    # the unmutated file must still decode (sanity that the harness works)
+    w, sr = decode_wav(str(base), target_sr=16000, max_seconds=1.0)
+    assert sr == 16000 and 0 < len(w) <= 16000

@@ -19,8 +19,11 @@
 #   serving  - benchmarks/serving_bench.py against the chip (replaces the
 #              CPU-backend JSON; VERDICT r2 item 2)
 #   smoke    - tests_tpu/ hardware lane (Pallas/Mosaic kernels, parity)
-#   demo     - benchmarks/privacy_demo.py --mode reference (~100 min; the
-#              reference-faithful privacy curve, VERDICT r2 item 3)
+#   demo     - benchmarks/privacy_demo.py --mode both (~100 min/mode; both
+#              full-scale curves MEASURED on-chip 2026-08-19 and committed
+#              — re-run only to refresh the artifact.  Resumable: a killed
+#              run restarted with the same mode/preset skips completed
+#              trainings under /tmp/privacy_demo/)
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/onchip
@@ -43,7 +46,7 @@ for s in $STAGES; do
               run bench2 timeout 600 python bench.py ;;
     roofline) run roofline timeout 3600 python benchmarks/roofline.py --batches 64 128 ;;
     serving)  run serving timeout 1200 python benchmarks/serving_bench.py ;;
-    demo)     run demo timeout 9000 python benchmarks/privacy_demo.py --mode reference ;;
+    demo)     run demo timeout 18000 python benchmarks/privacy_demo.py --mode both ;;
     *) echo "unknown stage: $s" ;;
   esac
 done
