@@ -15,8 +15,16 @@ intermediate (spectrogram, windows, normalization statistics) on device:
     train:  batches sliced on device; only scalar metrics return
 
 All shapes static; one jit for the whole ingest.  Semantics match the host
-pipeline (sept_tpu.data.pipeline) for equal-length utterances; parity is
-covered by tests/test_device_pipeline.py.
+pipeline (sept_tpu.data.pipeline) exactly for utterances that fit a single
+window (<= win_len frames); parity is covered by
+tests/test_device_pipeline.py.  For LONGER utterances the per-speaker
+normalization statistics deliberately differ: the host path replicates the
+reference's accumulation over every WRITTEN window row (interior frames of
+overlapping windows are counted up to win_len/shift_len times,
+preprocess_adversary_data.py:357-390), while the device path counts each
+valid frame exactly once — an intentional simplification that keeps the
+segment-sum formulation one pass, documented here so nobody swaps paths
+expecting bit-equal stats at corpus scale.
 """
 
 from __future__ import annotations

@@ -127,22 +127,32 @@ def _bucket_featurizer(bucket_len: int, feature_type: str, feature_len: int):
             d1 = device_reflect_pad(_padded_gradient(W, ns, 1.0), ns, 200)
             d2 = device_reflect_pad(_padded_gradient(W, ns, 2.0), ns, 200)
 
-            def one_mfcc(w_padded):
+            def one_mfcc(w_padded, n):
                 spec = F.stft_power(w_padded, 400, _MFCC_HOP, center=False)
                 fb = jnp.asarray(F.melscale_fbanks(201, 0.0, 8000.0, 128, 16000))
                 mel = jnp.dot(spec.T, fb, precision=F.PARITY_PRECISION,
                               preferred_element_type=jnp.float32).T
-                mel_db = F.amplitude_to_db(mel, "power", top_db=80.0)
+                mel_db = F.amplitude_to_db(mel, "power", None)
+                # torchaudio's top_db floor is (max over THIS utterance's
+                # spectrogram) - 80; the bucket's trailing frames past the
+                # true frame count hold reflected-tail content at alignments
+                # the centered STFT never produces and must not raise the
+                # floor — mask them out of the max
+                t_valid = 1 + n // _MFCC_HOP
+                valid = jnp.arange(mel_db.shape[1]) < t_valid
+                ref_max = jnp.max(jnp.where(valid[None, :], mel_db, -jnp.inf))
+                mel_db = jnp.maximum(mel_db, ref_max - 80.0)
                 dct = jnp.asarray(F.create_dct(40, 128, "ortho"))
                 return jnp.dot(mel_db.T, dct, precision=F.PARITY_PRECISION,
                                preferred_element_type=jnp.float32).T
 
-            def single(wp, d1p, d2p):
+            def single(wp, d1p, d2p, n):
                 return jnp.concatenate(
-                    [one_mfcc(wp), one_mfcc(d1p), one_mfcc(d2p)], axis=0
+                    [one_mfcc(wp, n), one_mfcc(d1p, n), one_mfcc(d2p, n)],
+                    axis=0,
                 )
 
-            return jax.vmap(single)(w, d1, d2)
+            return jax.vmap(single)(w, d1, d2, ns)
 
         return jax.jit(batch)
 
@@ -187,21 +197,25 @@ def featurize_corpus(
             m1, m2 = np.asarray(out[0]), np.asarray(out[1])
             for row, u in enumerate(ids):
                 t = feature_frames(int(ns[row]), hop)
-                store[u]["mel1"] = m1[row, :, :t]
-                store[u]["mel2"] = m2[row, :, :t]
+                # copy the trimmed slice: a view would pin the whole padded
+                # (rows, D, T_bucket) chunk buffer (2-4x the trimmed bytes
+                # under geometric length + pow2 row bucketing) in memory for
+                # the store's lifetime
+                store[u]["mel1"] = np.ascontiguousarray(m1[row, :, :t])
+                store[u]["mel2"] = np.ascontiguousarray(m2[row, :, :t])
         else:
             arr = np.asarray(out)
             for row, u in enumerate(ids):
                 t = feature_frames(int(ns[row]), hop)
-                store[u]["mfcc"] = arr[row, :, :t]
+                store[u]["mfcc"] = np.ascontiguousarray(arr[row, :, :t])
         if g is not None:
             g = np.asarray(g)
             for row, u in enumerate(ids):
-                store[u]["gemaps"] = g[row]
+                store[u]["gemaps"] = np.ascontiguousarray(g[row])
         if e is not None:
             e = np.asarray(e)
             for row, u in enumerate(ids):
-                store[u]["emobase"] = e[row]
+                store[u]["emobase"] = np.ascontiguousarray(e[row])
 
     # dispatch-then-collect with a BOUNDED queue: stage chunk N+1 and queue
     # its programs before blocking on chunk N-k's np.asarray, so H2D

@@ -30,7 +30,7 @@ from sept_tpu.data import augment as aug_mod
 from sept_tpu.data import normalize as norm_mod
 from sept_tpu.data.corpora import EMO_LABELS, GENDER_LABELS, Utterance
 from sept_tpu.data.splits import FoldPlan, speaker_ids_for
-from sept_tpu.data.windowing import window_utterance
+from sept_tpu.data.windowing import pad_to, window_utterance
 
 __all__ = ["SplitArrays", "FoldData", "assemble_fold", "batch_iterator"]
 
@@ -183,9 +183,7 @@ def assemble_fold(
             # (0 - mean)/std rather than raw zeros
             # (preprocess_adversary_data.py:29-34,373-385)
             if len(data) < pad_t:
-                padded = np.zeros((pad_t, data.shape[1]), dtype=data.dtype)
-                padded[: len(data)] = data
-                data = padded
+                data = pad_to(data, pad_t)
             windows[i] = norm_mod.apply_norm(data, stats[utt.speaker_id], norm)
             labels_emo[i] = EMO_LABELS[utt.label]
             labels_gen[i] = GENDER_LABELS[utt.gender]
@@ -207,7 +205,12 @@ def assemble_fold(
     }
 
     if aug is not None:
-        for key in ("training", "adv_training"):
+        # the reference augments ONLY the baseline training split —
+        # aug_key_list is built from training_dict and only training_dict is
+        # mutated (preprocess_adversary_data.py:392-423); adv_training is
+        # pickled unaugmented, so the adversary trains on the natural class
+        # balance
+        for key in ("training",):
             s = split_arrays[key]
             if len(s) == 0:
                 continue

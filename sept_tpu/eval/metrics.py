@@ -66,6 +66,10 @@ def confusion(truth: np.ndarray, pred: np.ndarray, n_classes: int | None = None)
     for t, p in zip(truth, pred):
         mat[idx[t], idx[p]] += 1
     rows = mat.sum(axis=1, keepdims=True)
+    # deliberate deviation: sklearn's normalize='true' (what the reference
+    # stores) emits NaN rows for classes absent from the truth; we emit 0.0
+    # rows so confusion matrices stay JSON-serializable and comparable —
+    # every populated row is identical to the reference's
     rows[rows == 0] = 1.0
     return np.round(mat / rows * 100, decimals=2)
 

@@ -140,10 +140,11 @@ def _lld(wave):
         n = jnp.sum(mask)
         fx = f * mask
         mx = jnp.sum(fx) / n
-        my = jnp.sum(db_spec * mask[None, :], axis=1) / n
+        # the covariance form with centered f already absorbs the y-mean
+        # (sum of centered f over the mask is 0), so no my term is needed
         cov = jnp.sum((fx - mx * mask)[None, :] * db_spec * mask[None, :], axis=1)
         var = jnp.sum((fx - mx * mask) ** 2)
-        return cov / (var + eps) - my * 0.0  # slope dB/Hz
+        return cov / (var + eps)  # slope dB/Hz
 
     slope0 = band_slope(lo500)
     slope1 = band_slope(f500_1500)

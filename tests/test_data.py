@@ -218,6 +218,33 @@ def test_fold_training_is_emotion_balanced(synth_fold):
     assert counts.min() == counts.max()
 
 
+def test_fold_adv_training_is_not_augmented(synth_fold):
+    """The reference augments ONLY the baseline training split: aug_key_list
+    is built from training_dict and only training_dict is mutated
+    (preprocess_adversary_data.py:392-423) — the adversary trains on the
+    natural class balance.  Every adv_training window must therefore be an
+    original (no duplicated utt_ids beyond genuine windowing, no synthetic
+    noisy rows), i.e. its window count equals what windowing alone yields."""
+    corpus, store, fold = synth_fold
+    from sept_tpu.data.windowing import num_windows
+
+    adv_speakers = set(fold.adv_training.speaker_ids.tolist())
+    expected = sum(
+        num_windows(store[u.utt_id]["mel1"].shape[1], 200, 50)
+        for u in corpus.manifest
+        if u.speaker_id in adv_speakers
+    )
+    assert len(fold.adv_training) == expected
+    # while the baseline training split IS augmented past its natural count
+    train_speakers = set(fold.training.speaker_ids.tolist())
+    natural = sum(
+        num_windows(store[u.utt_id]["mel1"].shape[1], 200, 50)
+        for u in corpus.manifest
+        if u.speaker_id in train_speakers
+    )
+    assert len(fold.training) > natural
+
+
 def test_fold_test_lengths_and_padding(synth_fold):
     corpus, store, fold = synth_fold
     from sept_tpu.data.normalize import SpeakerStats, apply_norm
