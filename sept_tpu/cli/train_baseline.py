@@ -62,7 +62,11 @@ def run_fold(cfg, fold, ckpt, verbose=True, metrics_path=None, mesh=None,
         conv_backend=cfg.resolved_conv_backend(),
         remat=cfg.remat,
     )
-    steps_per_epoch = max(1, len(train_split) // cfg.batch_size)
+    # ceil: every driver executes the padded partial batch too (host
+    # batch_iterator yields it; DeviceSplit.n_batches rounds up), and the
+    # schedule converts optimizer steps -> epochs by dividing by this —
+    # floor would overcount epochs and fire StepLR decays early
+    steps_per_epoch = max(1, -(-len(train_split) // cfg.batch_size))
     tx = make_optimizer(cfg, steps_per_epoch)
     sample = next(
         batch_iterator(train_split, cfg.batch_size, np.random.default_rng(0))

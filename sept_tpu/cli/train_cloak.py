@@ -148,7 +148,9 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         mask_fn = eval_mask if cfg.mask_direction == "eval" else train_mask
         mask = jnp.asarray(mask_fn(scales, cfg.suppression_ratio))
 
-    steps_per_epoch = max(1, len(fold.training) // cfg.batch_size)
+    # ceil — see train_baseline.py: both drivers execute the padded partial
+    # batch, so floor would make the schedule overcount epochs
+    steps_per_epoch = max(1, -(-len(fold.training) // cfg.batch_size))
     tx = make_cloak_optimizer(
         cfg, steps_per_epoch, params, trainable,
         freeze_rhos=bool(cfg.suppression_ratio),

@@ -91,6 +91,10 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
             lab, w = labels[idx], weights[idx]
             lg = labels_gen[idx]
             rng, d_rng = jax.random.split(st.rng)
+            # decorrelate dropout across shards: with the replicated state's
+            # shared key, row i of EVERY shard would draw the identical mask
+            # (fold_in is a no-op for the dropout-off equivalence tests)
+            d_rng = jax.random.fold_in(d_rng, jax.lax.axis_index(axis))
             # global REAL-row count: speaker weights scale numerators only
             denom = jnp.maximum(
                 jax.lax.psum(jnp.sum((w > 0).astype(jnp.float32)), axis), 1.0)
@@ -157,6 +161,13 @@ def make_epoch_runner_dp(model, tx, mesh: Mesh, axis: str = "data",
         if globals_ is None:  # unused placeholder keeping the specs fixed
             globals_ = jnp.zeros((windows.shape[0], 1), windows.dtype)
         if labels_gen is None:
+            if getattr(model, "pred", None) == "multitask":
+                # a zero placeholder would silently train the gender head
+                # toward class 0 for every row; the single-device runner
+                # crashes loudly in the same situation
+                raise ValueError(
+                    "multitask epoch runner needs labels_gen"
+                )
             labels_gen = jnp.zeros((windows.shape[0],), jnp.int32)
         return mapped(state, windows, labels, weights, order2, globals_,
                       labels_gen)
@@ -195,6 +206,11 @@ def make_cloak_epoch_runner_dp(
             g = globals_[idx] if use_global else None
             le, lg, w = labels_emo[idx], labels_gen[idx], weights[idx]
             rng, n_rng, d_rng = jax.random.split(st.rng, 3)
+            # n_rng stays SHARED across shards (the (win,feats) noise draw
+            # broadcasts over batch rows — identical keys = identical noise,
+            # matching single-device); dropout masks are per-row and must
+            # NOT repeat across shards
+            d_rng = jax.random.fold_in(d_rng, jax.lax.axis_index(axis))
             # global REAL-row count: speaker weights scale numerators only
             denom = jnp.maximum(
                 jax.lax.psum(jnp.sum((w > 0).astype(jnp.float32)), axis), 1.0)

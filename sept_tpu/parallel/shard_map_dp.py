@@ -33,15 +33,21 @@ def make_shard_map_dp_step(
     """Baseline/adversary train step with explicit pmean gradient collectives.
 
     State is replicated; batch dict arrays are sharded on the leading axis.
-    Matches make_baseline_step numerically (tests/test_parallel.py).
+    Matches make_baseline_step numerically with dropout off
+    (tests/test_parallel.py); with dropout on, each shard draws independent
+    per-row masks (valid DP training, not the single-device mask pattern).
     """
 
     label_key = "labels_gen" if model.pred == "gender" else "labels_emo"
 
     def local_step(state: TrainState, batch: dict):
         rng, d_rng = jax.random.split(state.rng)
-        # same dropout key on every shard == replicated-batch semantics of the
-        # single-device step; per-shard keys would fold in axis_index
+        # fold the shard index into the dropout key: a shared key draws
+        # masks at LOCAL (B/n, ...) shape, so it neither reproduces the
+        # single-device (B, ...) masks nor gives independent masks — row i
+        # of every shard would share one mask.  (The numerical-equivalence
+        # tests run dropout-off, where this fold is a no-op.)
+        d_rng = jax.random.fold_in(d_rng, jax.lax.axis_index(axis))
         labels = batch[label_key]
         w = batch["weight"]
 

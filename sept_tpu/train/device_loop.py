@@ -59,28 +59,25 @@ class DeviceSplit:
         w[n:] = 0.0
         if extra_weights is not None:
             w[:n] *= extra_weights
-        windows = split.windows
-        if pad:
-            windows = np.concatenate(
-                [windows, np.zeros((pad,) + windows.shape[1:], windows.dtype)]
-            )
-        self.windows = jnp.asarray(windows)
-        self.labels_emo = jnp.asarray(
-            np.concatenate([split.labels_emo, np.zeros(pad, np.int32)])
-        )
-        self.labels_gen = jnp.asarray(
-            np.concatenate([split.labels_gen, np.zeros(pad, np.int32)])
-        )
+
+        def padded(a):
+            # pad with COPIES OF ROW 0, exactly like the host path
+            # (batch_iterator pads the index vector with zeros): zero-weight
+            # rows are excluded from loss/metrics either way, but pad
+            # windows still enter train-mode BatchNorm batch statistics —
+            # all-zero rows would bias them with out-of-distribution data
+            if not pad:
+                return a
+            return np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+
+        self.windows = jnp.asarray(padded(split.windows))
+        self.labels_emo = jnp.asarray(padded(split.labels_emo))
+        self.labels_gen = jnp.asarray(padded(split.labels_gen))
         self.labels = (
             self.labels_gen if label_key == "labels_gen" else self.labels_emo
         )
         self.weights = jnp.asarray(w)
-        gdata = split.global_data
-        if pad:
-            gdata = np.concatenate(
-                [gdata, np.zeros((pad,) + gdata.shape[1:], gdata.dtype)]
-            )
-        self.globals = jnp.asarray(gdata)
+        self.globals = jnp.asarray(padded(split.global_data))
         if mesh is not None:
             from sept_tpu.parallel.epoch_dp import put_replicated
 
@@ -189,20 +186,23 @@ def make_val_pass(apply_logits, use_global: bool = False):
 
 
 def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
-                    test_epoch, m_total: int, resume_path: Optional[str],
+                    test_epoch, m_total: int, n_real: Optional[int] = None,
+                    resume_path: Optional[str],
                     replicate, verbose: bool) -> FitResult:
-    """Shared epoch-loop bookkeeping for both device-resident drivers.
+    """Shared epoch-loop bookkeeping for ALL fold drivers (loop.fit and
+    both device-resident drivers).
 
-    ``train_epoch(state, order) -> (state, train_loss, train_acc)``,
-    ``val_epoch(state) -> (val_loss, val_acc, val_uar)``,
-    ``test_epoch(state) -> test metrics dict`` close over the workload's
-    splits and compiled programs; everything else — best-state tracking
-    (STRICT > after epoch > min_sel, reference semantics), plateau
-    scaling, early stopping (patience accrues only once selection opens;
-    the ``early_stop_with_sgd`` gate), mid-fold save/restore with
-    identical shuffle replay, and FitResult assembly — lives HERE once, so
-    the baseline and cloak drivers cannot drift apart (they had:
-    fit_device_cloak ignored early_stop_with_sgd for a while).
+    ``train_epoch(state, epoch, order) -> (state, train metrics dict with
+    at least 'loss'/'acc')``, ``val_epoch(state) -> dict with
+    'loss'/'acc'/'uar'``, ``test_epoch(state) -> test metrics dict`` close
+    over the workload's splits and compiled programs; everything else —
+    best-state tracking (STRICT > after epoch > min_sel, reference
+    semantics), plateau scaling, early stopping (patience accrues only
+    once selection opens; the ``early_stop_with_sgd`` gate), mid-fold
+    save/restore with identical shuffle replay, and FitResult assembly —
+    lives HERE once, so the drivers cannot drift apart (they had:
+    fit_device_cloak ignored early_stop_with_sgd for a while; loop.fit
+    carried its own copy of all of this until round 3).
     ``replicate`` re-places restored states onto the mesh (identity when
     single-device).
     """
@@ -240,39 +240,46 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
             best_state = best_loaded
             best_dirty = False  # the on-disk best is already current
         for _ in range(start_epoch):  # replay the shuffle stream
-            rng.permutation(m_total)
+            rng.permutation(n_real if n_real is not None else m_total)
         if verbose:
             print(f"mid-fold resume: continuing at epoch {start_epoch}")
 
+    def next_order():
+        # shuffle REAL rows only; pad rows stay in the final batch like the
+        # host path (batch_iterator pads only the last batch) — scattering
+        # zero-weight pads into random batches would feed them into
+        # train-mode BatchNorm statistics mid-epoch
+        if n_real is None or n_real == m_total:
+            return jnp.asarray(rng.permutation(m_total))
+        return jnp.asarray(np.concatenate(
+            [rng.permutation(n_real), np.arange(n_real, m_total)]))
+
     for epoch in range(start_epoch, cfg.num_epochs):
-        order = jnp.asarray(rng.permutation(m_total))
-        state, train_loss, train_acc = train_epoch(state, order)
-        val_loss, val_acc, val_uar = val_epoch(state)
+        order = next_order()
+        state, train_m = train_epoch(state, epoch, order)
+        val_m = val_epoch(state)
         test_m = test_epoch(state)
-        history.append({
-            "train": {"loss": train_loss, "acc": train_acc},
-            "validate": {"loss": val_loss, "acc": val_acc, "uar": val_uar},
-            "test": test_m,
-        })
+        history.append({"train": train_m, "validate": val_m, "test": test_m})
 
         if cfg.optimizer == "adam":
             state = dataclasses.replace(
                 state, opt_state=set_lr_scale(state.opt_state,
-                                              plateau.step(val_loss))
+                                              plateau.step(val_m["loss"]))
             )
         # STRICT >: ties keep the FIRST best epoch, like the reference
-        if val_acc > best_val_acc and epoch > min_sel:
+        if val_m["acc"] > best_val_acc and epoch > min_sel:
             best_val_acc, best_epoch, best_state, final = (
-                val_acc, epoch, state, test_m)
+                val_m["acc"], epoch, state, test_m)
             best_dirty = True
         if verbose:
             print(
-                f"epoch {epoch}: train loss {train_loss:.4f} acc {train_acc:.3f}"
-                f" | val acc {val_acc:.3f} | test acc {test_m['acc']:.3f}"
+                f"epoch {epoch}: train loss {train_m['loss']:.4f} "
+                f"acc {train_m['acc']:.3f}"
+                f" | val acc {val_m['acc']:.3f} | test acc {test_m['acc']:.3f}"
                 f" uar {test_m['uar']:.3f}"
             )
         if epoch > min_sel:  # patience accrues only once selection opens
-            early(val_loss)
+            early(val_m["loss"])
         should_stop = early.should_stop and (
             cfg.optimizer != "sgd" or cfg.early_stop_with_sgd)
         if mid is not None and not should_stop:
@@ -351,7 +358,7 @@ def fit_device(
 
     val_pass = make_val_pass(_val_logits, use_global=cfg.global_feature)
 
-    def train_epoch(st, order):
+    def train_epoch(st, epoch, order):
         gkw = {"globals_": train_ds.globals} if cfg.global_feature else {}
         if cfg.pred == "multitask":
             gkw["labels_gen"] = train_ds.labels_gen
@@ -360,8 +367,8 @@ def fit_device(
             n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,
             **gkw,
         )
-        return (st, float(jnp.mean(losses)),
-                float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8)))
+        acc = float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8))
+        return st, {"loss": float(jnp.mean(losses)), "acc": acc}
 
     def val_epoch(st):
         vkw = {"globals_": val_ds.globals} if cfg.global_feature else {}
@@ -374,7 +381,7 @@ def fit_device(
         val_acc, val_uar = _masked_uar(
             np.asarray(val_ds.labels), np.asarray(val_preds), valid
         )
-        return float(val_loss), val_acc, val_uar
+        return {"loss": float(val_loss), "acc": val_acc, "uar": val_uar}
 
     def replicate(st):
         if mesh is not None:
@@ -389,6 +396,7 @@ def fit_device(
         val_epoch=val_epoch,
         test_epoch=lambda st: run_test(logits_fn, st, test_split, cfg),
         m_total=train_ds.n_batches * train_ds.batch_size,
+        n_real=train_ds.n_real,
         resume_path=resume_path, replicate=replicate, verbose=verbose,
     )
 
@@ -447,7 +455,7 @@ def fit_device_cloak(
         use_global=cfg.global_feature,
     )
 
-    def train_epoch(st, order):
+    def train_epoch(st, epoch, order):
         gkw = {"globals_": train_ds.globals} if cfg.global_feature else {}
         st, losses, correct, counts = run_epoch(
             st, train_ds.windows, train_ds.labels_emo, train_ds.labels_gen,
@@ -455,8 +463,8 @@ def fit_device_cloak(
             n_batches=train_ds.n_batches, batch_size=train_ds.batch_size,
             **gkw,
         )
-        return (st, float(jnp.mean(losses)),
-                float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8)))
+        acc = float(jnp.sum(correct) / jnp.maximum(jnp.sum(counts), 1e-8))
+        return st, {"loss": float(jnp.mean(losses)), "acc": acc}
 
     def val_epoch(st):
         vkw = {"globals_": val_ds.globals} if cfg.global_feature else {}
@@ -469,7 +477,7 @@ def fit_device_cloak(
         val_acc, val_uar = _masked_uar(
             np.asarray(val_ds.labels_emo), np.asarray(val_preds), valid
         )
-        return float(val_loss), val_acc, val_uar
+        return {"loss": float(val_loss), "acc": val_acc, "uar": val_uar}
 
     def replicate(st):
         return put_replicated(st, mesh) if mesh is not None else st
@@ -480,5 +488,6 @@ def fit_device_cloak(
         val_epoch=val_epoch,
         test_epoch=lambda st: run_test(eval_logits_fn, st, test_split, cfg),
         m_total=train_ds.n_batches * train_ds.batch_size,
+        n_real=train_ds.n_real,
         resume_path=resume_path, replicate=replicate, verbose=verbose,
     )

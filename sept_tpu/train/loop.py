@@ -30,7 +30,6 @@ from sept_tpu.data.pipeline import SplitArrays, batch_iterator
 from sept_tpu.eval import metrics as M
 from sept_tpu.eval.sliding import make_sliding_vote_fn
 from sept_tpu.train.config import ExperimentConfig
-from sept_tpu.train.optim import PlateauScheduler, set_lr_scale
 
 __all__ = [
     "EarlyStopping",
@@ -290,70 +289,38 @@ def fit(
 ) -> FitResult:
     """The reference's per-fold epoch loop with best-model tracking.
 
+    All selection/stopping bookkeeping (STRICT best-by-val-acc after
+    ``min_select_epoch``, plateau scaling, patience gating,
+    ``early_stop_with_sgd``) is delegated to the single shared loop in
+    ``device_loop._run_epoch_loop`` — the host and device drivers MUST make
+    those decisions identically, and separate copies drifted repeatedly.
+
     ``profile_dir`` wraps the first training epoch in a jax.profiler trace
     (TensorBoard-loadable; the reference has no profiling — SURVEY.md §5).
     """
+    from sept_tpu.train.device_loop import _run_epoch_loop
     from sept_tpu.utils.profiling import trace as profiler_trace
 
     rng = np.random.default_rng(cfg.seed)
-    early = EarlyStopping(patience=cfg.early_stop_patience)
-    plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)
 
-    # reference selects best-by-val-acc only when epoch > 10 (STRICT,
-    # training_adversary_baselines.py:455, training_cloak.py:404); capped
-    # at num_epochs-2 so short smoke runs still select a model
-    min_sel = min(cfg.min_select_epoch, cfg.num_epochs - 2)
-
-    best_val_acc, best_epoch = 0.0, 0
-    best_state = state
-    final = {"acc": 0.0, "uar": 0.0, "conf": np.zeros((0, 0))}
-    history = []
-    for epoch in range(cfg.num_epochs):
-        with profiler_trace(profile_dir, enabled=epoch == 0 and profile_dir is not None):
-            state, train_m = run_train_epoch(
-                step_fn, state, train_split, cfg, rng, spk_weights, mask
-            )
-        val_m = run_eval_epoch(logits_fn, state, val_split, cfg,
-                               spk_weights=spk_weights)
-        test_m = run_test(logits_fn, state, test_split, cfg)
-        history.append({"train": train_m, "validate": val_m, "test": test_m})
-
-        if cfg.optimizer == "adam":
-            scale = plateau.step(val_m["loss"])
-            state = dataclasses.replace(
-                state, opt_state=set_lr_scale(state.opt_state, scale)
+    def train_epoch(st, epoch, order):  # order unused: batch_iterator shuffles
+        with profiler_trace(
+            profile_dir, enabled=epoch == 0 and profile_dir is not None
+        ):
+            return run_train_epoch(
+                step_fn, st, train_split, cfg, rng, spk_weights, mask
             )
 
-        # STRICT >: ties keep the FIRST best epoch, like the reference
-        if val_m["acc"] > best_val_acc and epoch > min_sel:
-            best_val_acc = val_m["acc"]
-            best_epoch = epoch
-            best_state = state
-            final = test_m
-
-        if verbose:
-            print(
-                f"epoch {epoch}: train loss {train_m['loss']:.4f} "
-                f"acc {train_m['acc']:.3f} | val acc {val_m['acc']:.3f} "
-                f"| test acc {test_m['acc']:.3f} uar {test_m['uar']:.3f}"
-            )
-
-        # the patience counter only accrues once selection opens (the
-        # reference calls early_stopping() only when epoch > 10, :463-464)
-        if epoch > min_sel:
-            early(val_m["loss"])
-        stop_allowed = cfg.optimizer != "sgd" or cfg.early_stop_with_sgd
-        if early.should_stop and stop_allowed:
-            if verbose:
-                print("early stopping")
-            break
-
-    return FitResult(
-        best_state=best_state,
-        best_epoch=best_epoch,
-        best_val_acc=best_val_acc,
-        final_test_acc=final["acc"],
-        final_test_uar=final["uar"],
-        final_confusion=final["conf"],
-        history=history,
+    return _run_epoch_loop(
+        state, cfg,
+        train_epoch=train_epoch,
+        val_epoch=lambda st: run_eval_epoch(logits_fn, st, val_split, cfg,
+                                            spk_weights=spk_weights),
+        test_epoch=lambda st: run_test(logits_fn, st, test_split, cfg),
+        m_total=len(train_split),
+        resume_path=None,
+        replicate=lambda st: st,
+        verbose=verbose,
     )
+
+

@@ -590,8 +590,12 @@ def make_cloak_grl_step(
             step=state.step + 1,
         )
         m = _metrics(emo_logits, batch["labels_emo"], batch["weight"], loss)
+        # validity mask, NOT raw weights: combine-mode speaker weights are
+        # >= 1 and would inflate the count past the batch size (_metrics
+        # masks the same way)
         m["gender_correct"] = jnp.sum(
-            (jnp.argmax(gen_logits, -1) == batch["labels_gen"]) * batch["weight"]
+            (jnp.argmax(gen_logits, -1) == batch["labels_gen"])
+            * (batch["weight"] > 0)
         )
         return new_state, m
 
