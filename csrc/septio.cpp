@@ -74,6 +74,11 @@ bool parse_wav(const uint8_t* buf, size_t len, WavData* out) {
   // so the batch decoder records a 0-length row instead of crashing the
   // worker thread (and with it the whole featurize run)
   if (bits < 8 || bits % 8) return false;
+  // only linear PCM (1) and IEEE float (3) are decodable here; mu-law (7),
+  // a-law (6), ADPCM etc. would be silently rendered as linear-PCM garbage
+  // — reject so the caller records a 0-length row instead
+  if (fmt != 1 && fmt != 3) return false;
+  if (fmt == 3 && bits != 32) return false;
 
   size_t bytes_per = bits / 8;
   size_t n_frames = data_len / (bytes_per * channels);
@@ -205,6 +210,12 @@ bool decode_file(const char* path, int target_sr, float* out_buf,
   fseek(f, 0, SEEK_END);
   long sz = ftell(f);
   fseek(f, 0, SEEK_SET);
+  // unseekable stream (pipe, device node): ftell yields -1 and the vector
+  // alloc below would throw through the C ABI and terminate the process
+  if (sz < 0) {
+    fclose(f);
+    return false;
+  }
   std::vector<uint8_t> buf(sz);
   if (fread(buf.data(), 1, sz, f) != (size_t)sz) {
     fclose(f);

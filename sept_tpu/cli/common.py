@@ -242,10 +242,12 @@ def resolve_mesh(args):
     if coord:
         from sept_tpu.parallel import init_distributed
 
+        # same partial-env contract as setup_seed: missing companion vars
+        # default to a single-process no-op, not KeyError
         init_distributed(
             coord,
-            int(os.environ["SEPT_NUM_PROCESSES"]),
-            int(os.environ["SEPT_PROCESS_ID"]),
+            int(os.environ.get("SEPT_NUM_PROCESSES", "1")),
+            int(os.environ.get("SEPT_PROCESS_ID", "0")),
         )
 
     n = args.n_devices

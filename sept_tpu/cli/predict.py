@@ -117,10 +117,17 @@ def main(argv=None):
             chunk = entries[lo : lo + args.batch_size]
             mat, lens = decode_batch([path for _, path in chunk],
                                      target_sr=16000)
-            keep = [i for i in range(len(chunk)) if lens[i] > 0]
+            # the frontend's reflect pad needs n_fft//2 + 1 samples; a
+            # decodable-but-tiny fragment would otherwise crash the whole
+            # CSV run deep in prepare_waves (serve.py guards identically)
+            min_samples = predictor.n_fft // 2 + 1
+            keep = [i for i in range(len(chunk)) if lens[i] >= min_samples]
             for i in range(len(chunk)):
                 if lens[i] == 0:
                     print(f"skipping undecodable {chunk[i][1]}", flush=True)
+                elif lens[i] < min_samples:
+                    print(f"skipping too-short ({int(lens[i])} samples) "
+                          f"{chunk[i][1]}", flush=True)
             if not keep:
                 continue
             waves = [narrow_pcm16(mat[i, : lens[i]]) for i in keep]

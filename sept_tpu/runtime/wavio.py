@@ -29,17 +29,29 @@ _lock = threading.Lock()
 
 def _compile() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # link to a per-process temp name and rename atomically: a concurrent
+    # process ctypes-loading a half-written .so would get OSError and
+    # silently pin itself to the numpy fallback (linear resampler) for its
+    # whole lifetime — a nondeterministic cross-decoder feature mismatch
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     for cc in ("c++", "g++", "clang++"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC,
+                [cc, "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC,
                  "-lpthread", "-lm"],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, _SO)
             return True
         except (OSError, subprocess.CalledProcessError):
             continue
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     return False
 
 
@@ -232,4 +244,6 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int = 16000) -> None:
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         pcm = np.clip(samples, -1, 1)
-        w.writeframes((pcm * 32767.0).astype("<i2").tobytes())
+        # round-to-nearest like the native path's lrintf — a plain int cast
+        # truncates toward zero and differs by 1 LSB on half the values
+        w.writeframes(np.rint(pcm * 32767.0).astype("<i2").tobytes())

@@ -16,13 +16,11 @@ real resume, which the reference lacks.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 __all__ = ["CheckpointManager", "artifact_path"]
@@ -97,15 +95,6 @@ class CheckpointManager:
         return os.path.isdir(artifact_path(self.output_dir, artifact, fold))
 
 
-def _jsonable(obj):
-    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
-        return _jsonable(dataclasses.asdict(obj))
-    if isinstance(obj, dict):
-        return {str(k): _jsonable(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        return [_jsonable(v) for v in obj]
-    if isinstance(obj, (np.ndarray, jax.Array)):
-        return np.asarray(obj).tolist()
-    if isinstance(obj, (np.floating, np.integer)):
-        return obj.item()
-    return obj
+# one JSON-coercion helper for manifests AND checkpoint metadata — a fix to
+# one copy (NaN handling, new leaf types) must not silently miss the other
+from sept_tpu.utils.logging import _jsonable  # noqa: E402
