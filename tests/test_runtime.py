@@ -104,3 +104,50 @@ def test_decoder_rejects_malformed_files_without_crashing(tmp_path, rng):
     # the unmutated file must still decode (sanity that the harness works)
     w, sr = decode_wav(str(base), target_sr=16000, max_seconds=1.0)
     assert sr == 16000 and 0 < len(w) <= 16000
+
+
+def test_decoder_rejects_compressed_formats(tmp_path):
+    """mu-law/a-law/ADPCM fmt tags must be REJECTED, not decoded as linear
+    PCM garbage (csrc/septio.cpp fmt check): a fmt=7 (mu-law) file with
+    bits=8 previously sailed through the bits check and produced severely
+    distorted waveforms silently."""
+    import struct
+
+    from sept_tpu.runtime.wavio import decode_wav, have_native
+
+    data = bytes(range(64)) * 4  # 256 "mu-law" bytes
+    for fmt in (2, 6, 7):  # ADPCM, a-law, mu-law
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, 1, 8000,
+                                       8000, 1, 8)
+               + b"data" + struct.pack("<I", len(data)))
+        p = tmp_path / f"fmt{fmt}.wav"
+        p.write_bytes(hdr + data)
+        if have_native():
+            import pytest
+
+            with pytest.raises(Exception):
+                decode_wav(str(p), target_sr=16000)
+
+
+def test_write_wav_fallback_matches_native_bytes(tmp_path, rng, monkeypatch):
+    """The numpy write fallback must produce the SAME PCM bytes as the
+    native lrintf path (round-to-nearest, not truncation): fixtures written
+    on hosts without a compiler must stay bit-identical."""
+    from sept_tpu.runtime import wavio
+
+    if not wavio.have_native():
+        import pytest
+
+        pytest.skip("no native lib to compare against")
+    # include exact .5 LSB values where truncate-vs-round differ
+    samples = np.concatenate([
+        (rng.standard_normal(500) * 0.5).astype(np.float32),
+        np.asarray([16383.5 / 32767.0, -16383.5 / 32767.0, 0.99999],
+                   np.float32),
+    ])
+    a, b = tmp_path / "native.wav", tmp_path / "fallback.wav"
+    wavio.write_wav(str(a), samples, 16000)
+    monkeypatch.setattr(wavio, "_load", lambda: False)
+    wavio.write_wav(str(b), samples, 16000)
+    assert a.read_bytes()[44:] == b.read_bytes()[44:]  # same PCM payload
