@@ -28,7 +28,11 @@ bf16-XLA epoch, batch-128 throughput epoch, the MFU cost-analysis
 lowering) is an EXTRA, run only while
 wall-clock headroom remains against ``SEPT_BENCH_BUDGET_S`` (default 420 s)
 and recorded in ``detail`` when it completes; skipped extras are listed in
-``detail.skipped``.  A subprocess probe with a timeout guards against the
+``detail.skipped``.  Extras run on a TIGHT budget only when a previous
+generous run completed them all and left ``.extras_seeded`` in the compile
+cache (their programs are then provably cached; a first tunneled compile is
+minutes long, blocking, and would starve the required headline stage).
+A subprocess probe with a timeout guards against the
 known tunnel-wedge failure mode (backend init hangs forever): if the chip is
 unreachable the bench falls back to the CPU backend at a reduced size and
 says so in ``detail.device_fallback`` rather than timing out with no output.
@@ -196,17 +200,23 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return ds, best, warm
 
-    # Cold-cache detection BEFORE any compile: an empty persistent-cache dir
-    # means every extra would pay a full tunneled-XLA compile — skip them and
-    # spend the budget on the headline.  (Round-2's heuristic inferred
-    # coldness from the first warmup's wall clock, but a degraded tunnel
-    # inflates the warmup with TRANSFER time and misclassified a warm cache
-    # as cold, silently dropping every extra from the driver artifact.)
+    # Extras gating, decided BEFORE any compile.  Two facts shape it:
+    # (1) round-2's warmup-wall-clock heuristic misfired on a degraded
+    # tunnel (transfer time inflated the warmup) and silently dropped every
+    # extra from a warm-cache driver run; (2) a merely NON-EMPTY cache dir
+    # does not prove the EXTRAS' programs are cached — a headline-only run
+    # seeds ingest+epoch but not featurize_bf16/functionals, whose first
+    # tunneled compile is minutes long, blocking, and would starve the
+    # required headline stage if attempted on a tight budget.  So:
+    #   - generous budgets (onchip.sh seed runs) always attempt extras —
+    #     that is what seeds their programs into the cache;
+    #   - tight (driver) budgets attempt extras ONLY when a previous run
+    #     completed every extra and left the .extras_seeded marker.
+    generous = budget >= 900.0
     cache_dir = jax.config.jax_compilation_cache_dir
-    try:
-        cold = not (cache_dir and os.listdir(cache_dir))
-    except OSError:
-        cold = True
+    marker = os.path.join(cache_dir, ".extras_seeded") if cache_dir else None
+    extras_cached = bool(marker and os.path.exists(marker))
+    cold = not generous and not extras_cached
 
     _progress(f"start ingest (n_utts={N_UTTS}, backend={jax.default_backend()}"
               f", cache={'cold' if cold else 'warm'})")
@@ -407,11 +417,11 @@ def main():
         # a partial epoch would train fewer windows than the headline's,
         # inflating utts/sec; only measure when every window fits
         skipped.append("train_epoch_b128:n_windows_not_divisible")
-    elif remaining() <= 300:
-        # a "warm" cache from an earlier round may still lack THIS program
-        # (the b128 epoch is new), and its first tunneled compile is
-        # unbounded — only attempt it with generous headroom (onchip.sh
-        # seed runs), never inside the driver's tight budget
+    elif remaining() <= (90 if extras_cached else 300):
+        # with the .extras_seeded marker every extra's program (including
+        # this one) is cached, so a 90 s reserve suffices; without it the
+        # first tunneled compile is unbounded — require generous headroom
+        # (onchip.sh seed runs), never the driver's tight budget
         skipped.append("train_epoch_b128:budget")
     else:
         try:
@@ -487,6 +497,14 @@ def main():
         "elapsed_s": round(time.perf_counter() - T0, 1),
         "skipped": skipped,
     })
+
+    # every extra completed on the chip: all of their programs are now in
+    # the persistent cache, so tight-budget (driver) runs may attempt them
+    if not on_cpu and not skipped and marker:
+        try:
+            open(marker, "w").close()
+        except OSError:
+            pass
 
     if on_cpu:
         why = ("forced via JAX_PLATFORMS=cpu" if forced_cpu

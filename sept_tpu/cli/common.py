@@ -92,6 +92,28 @@ def enable_compile_cache(path: str | None = None) -> None:
         pass
 
 
+def _dcn_proc_env() -> tuple[int, int]:
+    """(num_processes, process_id) from the multi-host env.
+
+    Reached only from a mesh-consuming CLI with ``SEPT_COORDINATOR`` set —
+    a user who exported the coordinator but lost the companion vars has a
+    MISCONFIGURED multi-host launch: silently defaulting to single-process
+    would run every host as an independent full job (duplicated work,
+    clobbered outputs), so fail loudly with the fix spelled out."""
+    import os
+
+    try:
+        return (int(os.environ["SEPT_NUM_PROCESSES"]),
+                int(os.environ["SEPT_PROCESS_ID"]))
+    except KeyError as e:
+        raise SystemExit(
+            f"SEPT_COORDINATOR is set but {e.args[0]} is not: a multi-host "
+            "launch needs SEPT_COORDINATOR, SEPT_NUM_PROCESSES and "
+            "SEPT_PROCESS_ID all exported (unset SEPT_COORDINATOR for a "
+            "single-process run)"
+        ) from None
+
+
 def setup_seed(seed: int = 8, prng_impl: str | None = None,
                distributed: bool = False) -> np.random.Generator:
     """Global determinism (the reference's setup_seed(8),
@@ -120,17 +142,14 @@ def setup_seed(seed: int = 8, prng_impl: str | None = None,
     # the mesh-consuming CLIs (train_baseline / train_cloak / evaluate)
     # pass ``distributed=True``: a single-process tool (featurize, predict,
     # serve) run in a shell with the multi-host env still exported must NOT
-    # block waiting for peer processes that will never connect.  Missing
-    # companion vars default to a single-process no-op rather than KeyError.
+    # block waiting for peer processes that will never connect.  A partial
+    # env (coordinator without the process vars) is a misconfigured
+    # multi-host launch and fails loudly (_dcn_proc_env).
     coord = os.environ.get("SEPT_COORDINATOR")
     if distributed and coord:
         from sept_tpu.parallel import init_distributed
 
-        init_distributed(
-            coord,
-            int(os.environ.get("SEPT_NUM_PROCESSES", "1")),
-            int(os.environ.get("SEPT_PROCESS_ID", "0")),
-        )
+        init_distributed(coord, *_dcn_proc_env())
     if prng_impl:
         import jax
 
@@ -242,13 +261,8 @@ def resolve_mesh(args):
     if coord:
         from sept_tpu.parallel import init_distributed
 
-        # same partial-env contract as setup_seed: missing companion vars
-        # default to a single-process no-op, not KeyError
-        init_distributed(
-            coord,
-            int(os.environ.get("SEPT_NUM_PROCESSES", "1")),
-            int(os.environ.get("SEPT_PROCESS_ID", "0")),
-        )
+        # same loud partial-env contract as setup_seed(distributed=True)
+        init_distributed(coord, *_dcn_proc_env())
 
     n = args.n_devices
     auto = n == 0

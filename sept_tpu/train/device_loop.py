@@ -187,6 +187,7 @@ def make_val_pass(apply_logits, use_global: bool = False):
 
 def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
                     test_epoch, m_total: int, n_real: Optional[int] = None,
+                    needs_order: bool = True,
                     resume_path: Optional[str],
                     replicate, verbose: bool) -> FitResult:
     """Shared epoch-loop bookkeeping for ALL fold drivers (loop.fit and
@@ -245,6 +246,10 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
             print(f"mid-fold resume: continuing at epoch {start_epoch}")
 
     def next_order():
+        # loop.fit shuffles inside batch_iterator and never consumes the
+        # order — skip the permutation AND the corpus-sized H2D transfer
+        if not needs_order:
+            return None
         # shuffle REAL rows only; pad rows stay in the final batch like the
         # host path (batch_iterator pads only the last batch) — scattering
         # zero-weight pads into random batches would feed them into

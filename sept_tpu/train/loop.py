@@ -318,6 +318,7 @@ def fit(
                                             spk_weights=spk_weights),
         test_epoch=lambda st: run_test(logits_fn, st, test_split, cfg),
         m_total=len(train_split),
+        needs_order=False,
         resume_path=None,
         replicate=lambda st: st,
         verbose=verbose,

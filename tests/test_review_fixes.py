@@ -279,9 +279,10 @@ def test_setup_seed_distributed_is_an_explicit_opt_in(monkeypatch):
     """A single-process CLI (featurize/predict/serve) run in a shell that
     still exports the multi-host env must NOT block in
     jax.distributed.initialize waiting for peers; only the mesh-consuming
-    CLIs opt in via distributed=True.  Partial env (coordinator set,
-    process vars missing) defaults to a single-process no-op instead of
-    KeyError."""
+    CLIs opt in via distributed=True.  A PARTIAL env (coordinator set,
+    process vars missing) is a misconfigured multi-host launch and fails
+    loudly — silently running each host as an independent full job would
+    duplicate work and clobber shared outputs."""
     from sept_tpu.cli.common import setup_seed
 
     calls = []
@@ -298,5 +299,6 @@ def test_setup_seed_distributed_is_an_explicit_opt_in(monkeypatch):
     calls.clear()
     monkeypatch.delenv("SEPT_NUM_PROCESSES")
     monkeypatch.delenv("SEPT_PROCESS_ID")
-    setup_seed(distributed=True)  # partial env: single-process no-op
+    with pytest.raises(SystemExit, match="SEPT_NUM_PROCESSES"):
+        setup_seed(distributed=True)  # partial env: loud misconfig error
     assert calls == []

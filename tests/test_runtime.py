@@ -113,8 +113,13 @@ def test_decoder_rejects_compressed_formats(tmp_path):
     distorted waveforms silently."""
     import struct
 
+    import pytest
+
     from sept_tpu.runtime.wavio import decode_wav, have_native
 
+    if not have_native():
+        pytest.skip("no native decoder to exercise (fallback rejects via "
+                    "the stdlib wave module)")
     data = bytes(range(64)) * 4  # 256 "mu-law" bytes
     for fmt in (2, 6, 7):  # ADPCM, a-law, mu-law
         hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
@@ -123,11 +128,8 @@ def test_decoder_rejects_compressed_formats(tmp_path):
                + b"data" + struct.pack("<I", len(data)))
         p = tmp_path / f"fmt{fmt}.wav"
         p.write_bytes(hdr + data)
-        if have_native():
-            import pytest
-
-            with pytest.raises(Exception):
-                decode_wav(str(p), target_sr=16000)
+        with pytest.raises(Exception):
+            decode_wav(str(p), target_sr=16000)
 
 
 def test_write_wav_fallback_matches_native_bytes(tmp_path, rng, monkeypatch):
