@@ -78,7 +78,9 @@ bool parse_wav(const uint8_t* buf, size_t len, WavData* out) {
   // a-law (6), ADPCM etc. would be silently rendered as linear-PCM garbage
   // — reject so the caller records a 0-length row instead
   if (fmt != 1 && fmt != 3) return false;
-  if (fmt == 3 && bits != 32) return false;
+  // IEEE float: 32- and 64-bit (scipy.io.wavfile writes float64 WAVs for
+  // float64 input; torchaudio/soundfile decode them, so must we)
+  if (fmt == 3 && bits != 32 && bits != 64) return false;
 
   size_t bytes_per = bits / 8;
   size_t n_frames = data_len / (bytes_per * channels);
@@ -94,6 +96,10 @@ bool parse_wav(const uint8_t* buf, size_t len, WavData* out) {
         float f;
         memcpy(&f, s, 4);
         v = f;
+      } else if (fmt == 3 && bits == 64) {  // IEEE double
+        double d;
+        memcpy(&d, s, 8);
+        v = (float)d;
       } else if (bits == 16) {
         int16_t x = (int16_t)rd_u16(s);
         v = (float)x / 32768.0f;

@@ -207,6 +207,14 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
     ``replicate`` re-places restored states onto the mesh (identity when
     single-device).
     """
+    # resume replays THIS loop's rng to restore the shuffle stream; callers
+    # that shuffle elsewhere (loop.fit's batch_iterator, needs_order=False)
+    # would resume with an unrestored stream — refuse rather than drift
+    assert needs_order or resume_path is None, (
+        "resume requires the loop-owned shuffle stream (needs_order=True); "
+        "a needs_order=False caller shuffles in its own generator which "
+        "replay cannot restore"
+    )
     rng = np.random.default_rng(cfg.seed)
     early = EarlyStopping(patience=cfg.early_stop_patience)
     plateau = PlateauScheduler(cfg.plateau_patience, cfg.plateau_factor)

@@ -132,6 +132,31 @@ def test_decoder_rejects_compressed_formats(tmp_path):
             decode_wav(str(p), target_sr=16000)
 
 
+def test_decoder_accepts_float64_wav(tmp_path):
+    """IEEE-float WAVs with bits=64 (fmt=3) are legal and produced by some
+    tools (scipy.io.wavfile with float64 input); decode them rather than
+    recording a silent 0-length row (csrc/septio.cpp fmt whitelist)."""
+    import struct
+
+    import pytest
+
+    from sept_tpu.runtime.wavio import decode_wav, have_native
+
+    if not have_native():
+        pytest.skip("no native decoder to exercise")
+    sr = 16000
+    w = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)  # float64
+    data = w.astype("<f8").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 8, 8, 64)
+           + b"data" + struct.pack("<I", len(data)))
+    p = tmp_path / "f64.wav"
+    p.write_bytes(hdr + data)
+    out, out_sr = decode_wav(str(p), target_sr=sr)
+    assert out_sr == sr and len(out) == sr
+    np.testing.assert_allclose(out, w.astype(np.float32), atol=1e-6)
+
+
 def test_write_wav_fallback_matches_native_bytes(tmp_path, rng, monkeypatch):
     """The numpy write fallback must produce the SAME PCM bytes as the
     native lrintf path (round-to-nearest, not truncation): fixtures written
