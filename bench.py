@@ -8,7 +8,8 @@ re-creation of the reference pipeline):
   reference's per-utterance CPU loop;
 - window to (2N, 200, 128) with stride 50;
 - one 64-batch training epoch of the Conv2dBiRNN workhorse (SGD momentum,
-  batch 32) as one scanned device program.
+  batch 32) as one scanned device program
+  (/root/reference/training/training_adversary_baselines.py:156-187).
 
 Steady-state throughput (compile excluded via warmup on identical shapes;
 the torch reference is eager and has no compile either).  Each timed stage
@@ -21,40 +22,51 @@ pipeline in eager torch on a SINGLE CPU core (this box has one core; the
 reference repo publishes no numbers of its own, BASELINE.md).
 
 BUDGET DISCIPLINE (the driver runs this under a hard timeout): the bench is
-structured headline-first.  Only two stages are required to print a result —
-the parity-mode ingest and the production (bf16 + fused-conv) training
-epoch.  Every other variant (bf16 ingest, device functionals, f32 epoch,
-bf16-XLA epoch, batch-128 throughput epoch, the MFU cost-analysis
-lowering) is an EXTRA, run only while
-wall-clock headroom remains against ``SEPT_BENCH_BUDGET_S`` (default 420 s)
-and recorded in ``detail`` when it completes; skipped extras are listed in
-``detail.skipped``.  Extras run on a TIGHT budget only when a previous
-generous run completed them all and left ``.extras_seeded`` in the compile
-cache (their programs are then provably cached; a first tunneled compile is
-minutes long, blocking, and would starve the required headline stage).
-A subprocess probe with a timeout guards against the
-known tunnel-wedge failure mode (backend init hangs forever): if the chip is
-unreachable the bench falls back to the CPU backend at a reduced size and
-says so in ``detail.device_fallback`` rather than timing out with no output.
+headline-first.  Only two stages are required to print a result — the
+parity-mode ingest and the production (bf16 + fused-conv) training epoch.
+The EXTRAS (f32 epoch, bf16-XLA epoch, batch-128 epoch, MFU) are gated on
+measured per-extra worst-case COLD costs (2026-08-20 on-chip session:
+shared init_state 13 s f32 / 62 s fused1, epoch compiles 16-24 s per
+variant, bf16-XLA up to 88 s, MFU step lowering 17 s) against the
+remaining ``SEPT_BENCH_BUDGET_S`` (default 420 s) — a fully COLD cache
+fits every extra inside the default budget, so there is no cold-cache
+gating or seed-marker machinery anymore.  Three design choices make that
+true:
+
+- ONE ``init_state`` is shared by every epoch variant (the f32 / bf16 /
+  fused-conv models have identical param trees, values, and dtypes — only
+  the apply path differs), so the expensive fused-kernel init program is
+  never compiled;
+- MFU comes from ``cost_analysis`` on the ALREADY-COMPILED per-step
+  program lowering (a persistent-cache hit after the epoch ran; the
+  scanned epoch counts its scan body once, so the step program is the
+  honest FLOP source);
+- the two HAZARD stages — the fused-Pallas bf16 ingest and the
+  gemaps/emobase functionals — run only on generous budgets
+  (>= 900 s, tools/onchip.sh): the functionals executables have been
+  observed to stall for many minutes on a degraded tunnel EVEN WARM
+  (BENCH_r03: 459 s; 2026-08-20 repro: > 9.5 min), and a stall inside the
+  driver's budget would starve the required stages.  Their steady-state
+  numbers live in the committed benchmarks/functionals_onchip.json.
+
+A subprocess probe with a timeout guards against the known tunnel-wedge
+failure mode (backend init hangs forever): if the chip is unreachable the
+bench falls back to the CPU backend at a reduced size and says so in
+``detail.device_fallback`` rather than timing out with no output.
 The persistent compile cache lives in the repo (``.jax_cache/``, see
-cli/common.py::enable_compile_cache), so the driver's run reuses every
-compile this checkout has already paid for.
+cli/common.py::enable_compile_cache); warm runs skip every compile.
 
 STAGE ORDER MATTERS on this environment: loading/running the scanned-BiRNN
 model executables flips the tunnel into a ~40x-slower host->device transfer
 mode for the rest of the process (measured: device_put of 160 MB goes
 0.12s -> 4.4s after init_state; pure on-device compute is unaffected).  All
-transfer-bound stages (ingest, functionals) are therefore timed BEFORE any
-model program — which is also the real pipeline order (featurize, then
-train on device-resident arrays).
+transfer-bound stages (ingest, and on generous budgets the bf16 ingest +
+functionals) are therefore timed BEFORE any model program — which is also
+the real pipeline order (featurize, then train on device-resident arrays).
 
-Also reported in ``detail``:
-- mfu: model-FLOPs utilization of the training epoch against the v5e chip's
-  197 TFLOP/s bf16 peak (XLA cost-analysis FLOPs / elapsed / peak);
-- featurize_bf16_s: the fused Pallas bf16-throughput frontend
-  (ops/pallas_frontend.py);
-- gemaps_emobase_s: device functional featurization (88-dim eGeMAPS-style +
-  988-dim emobase-style) for the same N utterances.
+Also reported in ``detail``: mfu_vs_bf16_peak (XLA-counted model FLOPs of
+the epoch against the v5e chip's 197 TFLOP/s bf16 peak), per-variant epoch
+seconds, and on generous budgets featurize_bf16_s / gemaps_emobase_s.
 """
 
 import json
@@ -130,7 +142,7 @@ def main():
             pass
 
     # persistent compile cache: repeat bench runs (including the driver's)
-    # skip the minutes-slow tunneled XLA compilation of every program here
+    # skip the tunneled XLA compilation of every program here
     from sept_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
@@ -141,6 +153,7 @@ def main():
     N_UTTS = int(os.environ.get("SEPT_BENCH_N_UTTS", "64" if on_cpu else "1024"))
     WIN, SHIFT, D = 200, 50, 128
     BATCH = 32
+    generous = budget >= 900.0  # tools/onchip.sh runs; hazard stages allowed
 
     if fallback:
         detail["device_fallback"] = (
@@ -164,11 +177,9 @@ def main():
     }
 
     REPEATS = 3
-    # wall-clock reserved for the (required) headline epoch stage: a warm
-    # compile load + 3 runs comfortably fits; a cold compile does not, but
-    # a cold cache means the budget is lost either way and the epoch is the
-    # headline — it must be attempted
-    RESERVE_EPOCH = 120.0
+    # wall-clock reserved for the (required) headline epoch stage: the
+    # shared f32 init (~13 s cold) + fused epoch compile (~24 s) + runs
+    RESERVE_EPOCH = 110.0
 
     # ---- timed: on-device ingest (featurize + znorm + window, zero D2H) ----
     # FIRST, before any model executable exists (see module docstring).
@@ -200,59 +211,26 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return ds, best, warm
 
-    # Extras gating, decided BEFORE any compile.  Two facts shape it:
-    # (1) round-2's warmup-wall-clock heuristic misfired on a degraded
-    # tunnel (transfer time inflated the warmup) and silently dropped every
-    # extra from a warm-cache driver run; (2) a merely NON-EMPTY cache dir
-    # does not prove the EXTRAS' programs are cached — a headline-only run
-    # seeds ingest+epoch but not featurize_bf16/functionals, whose first
-    # tunneled compile is minutes long, blocking, and would starve the
-    # required headline stage if attempted on a tight budget.  So:
-    #   - generous budgets (onchip.sh seed runs) always attempt extras —
-    #     that is what seeds their programs into the cache;
-    #   - tight (driver) budgets attempt extras ONLY when a previous run
-    #     completed every extra and left the .extras_seeded marker.
-    generous = budget >= 900.0
-    cache_dir = jax.config.jax_compilation_cache_dir
-    marker = os.path.join(cache_dir, ".extras_seeded") if cache_dir else None
-    extras_cached = bool(marker and os.path.exists(marker))
-    cold = not generous and not extras_cached
-
     _progress(f"start ingest (n_utts={N_UTTS}, backend={jax.default_backend()}"
-              f", cache={'cold' if cold else 'warm'})")
+              f", budget={budget:.0f}s)")
     ds, t_feat, warm_feat = timed_ingest("xla", RESERVE_EPOCH)
     _progress(f"ingest done: warm={warm_feat:.1f}s best={t_feat:.2f}s")
-    # pathological warmup (minutes): the cache may be warm but the tunnel is
-    # badly degraded — still bail on the extras and protect the headline
-    cold = cold or warm_feat > 120.0
 
-    # ---- extra: the fused Pallas bf16 frontend (transfer-bound => must
-    # run before any model program, so it is gated hard) ----
+    # ---- HAZARD extras: generous budgets only (see module docstring);
+    # transfer-bound => must run before any model program ----
     t_feat_bf16 = None
-    if on_cpu:
-        skipped.append("featurize_bf16:cpu_backend")
-    elif cold:
-        skipped.append("featurize_bf16:cold_cache")
-    elif remaining() <= RESERVE_EPOCH + 90:
-        skipped.append("featurize_bf16:budget")
-    else:
+    if not on_cpu and generous and remaining() > RESERVE_EPOCH + 120:
         try:
-            _progress("start bf16 ingest")
+            _progress("start bf16 ingest (generous budget)")
             _, t_feat_bf16, _ = timed_ingest("pallas_bf16",
                                              RESERVE_EPOCH + 60)
         except Exception:
             skipped.append("featurize_bf16:error")
 
-    # ---- extra: functional featurization (gemaps + emobase), warm ----
-    # the production path: one device program computes both sets per chunk
     t_func = None
-    if cold:
-        skipped.append("gemaps_emobase:cold_cache")
-    elif remaining() <= RESERVE_EPOCH + 90:
-        skipped.append("gemaps_emobase:budget")
-    else:
+    if not on_cpu and generous and remaining() > RESERVE_EPOCH + 180:
         try:
-            _progress("start functionals")
+            _progress("start functionals (generous budget)")
             from sept_tpu.ops.emobase import combined_functionals_batch
 
             sub = {k: waves[k] for k in list(waves)[:min(128, N_UTTS)]}
@@ -296,13 +274,19 @@ def main():
     n_batches = m_total // BATCH
     order = jnp.asarray(np.random.default_rng(0).permutation(m_total))
 
+    model_f32 = Conv2dBiRNN(hidden_size=64, pred="emotion")
+    # ONE init serves every variant: the f32/bf16/fused models share
+    # identical param trees, values, and dtypes (f32 params; compute dtype
+    # and conv backend only change the apply path), and the f32 init
+    # program is the cheapest to compile (13 s vs 62 s for the fused one).
+    _progress("init state (shared across variants)")
+    state0 = init_state(model_f32, tx, jax.random.PRNGKey(8), dummy)
+
     def timed_epoch(model, reserve, batch=BATCH):
-        """init + warmup (compile) + up-to-REPEATS timed epochs."""
+        """warmup (compile) + up-to-REPEATS timed epochs on shared state."""
         nb = m_total // batch
-        state = init_state(model, tx, jax.random.PRNGKey(8),
-                           make_dummy(batch))
         run_epoch = make_epoch_runner(model, tx)
-        out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight, order,
+        out = run_epoch(state0, ds.windows, ds.labels_emo, ds.weight, order,
                         n_batches=nb, batch_size=batch)  # warmup
         jax.block_until_ready(out[0].params)
         best = float("inf")
@@ -310,11 +294,11 @@ def main():
             if best < float("inf") and remaining() < reserve:
                 break
             t0 = time.perf_counter()
-            out = run_epoch(state, ds.windows, ds.labels_emo, ds.weight,
+            out = run_epoch(state0, ds.windows, ds.labels_emo, ds.weight,
                             order, n_batches=nb, batch_size=batch)
             jax.block_until_ready(out[0].params)
             best = min(best, time.perf_counter() - t0)
-        return state, best
+        return best
 
     # ---- chip-unreachable fallback: featurize-only ----
     # measured on this host: the scanned-epoch XLA:CPU compile alone takes
@@ -326,8 +310,6 @@ def main():
         detail.update({
             "n_utts": N_UTTS,
             "featurize_s": round(t_feat, 3),
-            "gemaps_emobase_s": (round(t_func, 3)
-                                 if t_func is not None else None),
             "device": str(jax.devices()[0]),
             "budget_s": budget,
             "elapsed_s": round(time.perf_counter() - T0, 1),
@@ -353,7 +335,7 @@ def main():
     # On the CPU fallback the Pallas pair runs in interpret mode (slow, not
     # representative), so the fallback headline uses the XLA f32 model.
     if on_cpu:
-        headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion")
+        headline_model = model_f32
         headline_mode = "f32 XLA featurize+epoch on the CPU backend"
     else:
         headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion",
@@ -363,45 +345,29 @@ def main():
                          "epoch with fused first-conv-block Pallas kernels "
                          "(--compute_dtype bfloat16 --conv_backend auto)")
     _progress("start headline epoch")
-    state_head, t_train_head = timed_epoch(headline_model, 20.0)
+    t_train_head = timed_epoch(headline_model, 20.0)
     _progress(f"headline epoch done: {t_train_head:.2f}s")
 
     # ---- the headline is now measurable; everything below is extra ----
     total = t_feat + t_train_head
     utts_per_sec = N_UTTS / total
 
+    # Extras, cheapest-compile-first so a shrinking budget drops the most
+    # expensive one (bf16-XLA) first.  Reserves = measured worst-case cold
+    # cost + final-JSON margin (module docstring).
+
     # extra: f32 epoch (the full-parity mode)
     t_train = None
     if on_cpu:
-        pass  # the CPU headline IS the f32 epoch
-    elif cold:
-        skipped.append("train_epoch_f32:cold_cache")
+        t_train = t_train_head  # the CPU headline IS the f32 epoch
     elif remaining() <= 90:
         skipped.append("train_epoch_f32:budget")
     else:
         try:
             _progress("start f32 epoch")
-            _, t_train = timed_epoch(Conv2dBiRNN(hidden_size=64,
-                                                 pred="emotion"), 45.0)
+            t_train = timed_epoch(model_f32, 45.0)
         except Exception:
             skipped.append("train_epoch_f32:error")
-
-    # extra: bf16 epoch with the plain XLA conv lowering
-    t_train_bf16 = None
-    if on_cpu:
-        skipped.append("train_epoch_bf16_xla:cpu_backend")
-    elif cold:
-        skipped.append("train_epoch_bf16_xla:cold_cache")
-    elif remaining() <= 90:
-        skipped.append("train_epoch_bf16_xla:budget")
-    else:
-        try:
-            _progress("start bf16-xla epoch")
-            _, t_train_bf16 = timed_epoch(
-                Conv2dBiRNN(hidden_size=64, pred="emotion",
-                            dtype=jnp.bfloat16), 45.0)
-        except Exception:
-            skipped.append("train_epoch_bf16_xla:error")
 
     # extra: the batch-128 throughput mode (same production model; the
     # on-chip batch sweep's knee — docs/ARCHITECTURE.md §2b′: 168.5 µs/utt
@@ -411,48 +377,55 @@ def main():
     t_train_b128 = None
     if on_cpu:
         skipped.append("train_epoch_b128:cpu_backend")
-    elif cold:
-        skipped.append("train_epoch_b128:cold_cache")
     elif (m_total // 128) * 128 != m_total or m_total // 128 == 0:
         # a partial epoch would train fewer windows than the headline's,
         # inflating utts/sec; only measure when every window fits
         skipped.append("train_epoch_b128:n_windows_not_divisible")
-    elif remaining() <= (90 if extras_cached else 300):
-        # with the .extras_seeded marker every extra's program (including
-        # this one) is cached, so a 90 s reserve suffices; without it the
-        # first tunneled compile is unbounded — require generous headroom
-        # (onchip.sh seed runs), never the driver's tight budget
+    elif remaining() <= 70:
         skipped.append("train_epoch_b128:budget")
     else:
         try:
             _progress("start b128 epoch")
-            _, t_train_b128 = timed_epoch(headline_model, 45.0, batch=128)
+            t_train_b128 = timed_epoch(headline_model, 45.0, batch=128)
         except Exception:
             skipped.append("train_epoch_b128:error")
 
     # extra: MFU — XLA-counted FLOPs of ONE train step x n_batches /
-    # elapsed / peak.  (cost_analysis on the scanned epoch counts the scan
+    # elapsed / peak.  The step program lowering is a persistent-cache hit
+    # when the f32 epoch already compiled this session's programs; cold it
+    # costs ~17 s.  (cost_analysis on the scanned epoch counts the scan
     # body once, not x n_batches, so the per-step program is the honest
-    # FLOP source.)  This is a fresh lowering+compile: budget-gated.
+    # FLOP source.)
     flops = None
-    if cold:
-        skipped.append("mfu_lowering:cold_cache")
-    elif remaining() <= 60:
+    if remaining() <= 45:
         skipped.append("mfu_lowering:budget")
     else:
         try:
             _progress("start mfu lowering")
             from sept_tpu.train import make_baseline_step
 
-            model_f32 = Conv2dBiRNN(hidden_size=64, pred="emotion")
-            state_f32 = init_state(model_f32, tx, jax.random.PRNGKey(8),
-                                   dummy)
             step = make_baseline_step(model_f32, tx)
-            cost = step.lower(state_f32, dummy).compile().cost_analysis()
+            cost = step.lower(state0, dummy).compile().cost_analysis()
             if cost and cost.get("flops"):
                 flops = float(cost["flops"]) * n_batches
         except Exception:
             skipped.append("mfu_lowering:error")
+
+    # extra: bf16 epoch with the plain XLA conv lowering (the most
+    # expensive cold compile of the set: up to ~88 s measured)
+    t_train_bf16 = None
+    if on_cpu:
+        skipped.append("train_epoch_bf16_xla:cpu_backend")
+    elif remaining() <= 130:
+        skipped.append("train_epoch_bf16_xla:budget")
+    else:
+        try:
+            _progress("start bf16-xla epoch")
+            t_train_bf16 = timed_epoch(
+                Conv2dBiRNN(hidden_size=64, pred="emotion",
+                            dtype=jnp.bfloat16), 45.0)
+        except Exception:
+            skipped.append("train_epoch_bf16_xla:error")
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "reference_cpu.json")
@@ -492,19 +465,14 @@ def main():
                           if flops is not None and t_train is not None
                           else None),
         "gemaps_emobase_s": round(t_func, 3) if t_func is not None else None,
+        "hazard_stages": ("measured this run" if generous else
+                          "generous budgets only; steady-state numbers in "
+                          "benchmarks/functionals_onchip.json"),
         "device": str(jax.devices()[0]),
         "budget_s": budget,
         "elapsed_s": round(time.perf_counter() - T0, 1),
         "skipped": skipped,
     })
-
-    # every extra completed on the chip: all of their programs are now in
-    # the persistent cache, so tight-budget (driver) runs may attempt them
-    if not on_cpu and not skipped and marker:
-        try:
-            open(marker, "w").close()
-        except OSError:
-            pass
 
     if on_cpu:
         why = ("forced via JAX_PLATFORMS=cpu" if forced_cpu

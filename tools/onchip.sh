@@ -7,10 +7,13 @@
 #
 # Stages in PRIORITY order (the chip window may be short; the driver's
 # end-of-round bench is the round's key deliverable, so seed it first):
-#   bench    - bench.py twice: first with a generous budget so every
-#              program (headline + extras + MFU lowering) compiles into
-#              .jax_cache/, then with the default budget to validate the
-#              exact driver scenario warm
+#   bench    - bench.py twice: first with a generous budget (which also
+#              measures the hazard stages — bf16 ingest + functionals —
+#              that tight budgets quarantine; see bench.py docstring),
+#              then with the default budget to validate the exact driver
+#              scenario.  The driver scenario no longer needs a seeded
+#              cache: a fully cold default-budget run fits every
+#              non-hazard extra (measured 2026-08-20).
 #   roofline - benchmarks/roofline.py --batches 64 128 (bytes-vs-FLOPs
 #              accounting + batch/remat probes; both MEASURED 2026-08-19,
 #              results in benchmarks/roofline_onchip.jsonl and
