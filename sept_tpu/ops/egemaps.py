@@ -19,8 +19,9 @@ only as the parity oracle, ``functionals_reference``).
 
 Feature catalog (documented so downstream users can interpret dimensions):
 
-- F0 (log2-semitone, autocorrelation pitch): mean, std, p20, p50, p80,
-  range(p80-p20), rising/falling slope means                      (8)
+- F0 (log2-semitone, YIN pitch — subharmonic-robust CMNDF with
+  absolute-threshold dip picking + parabolic lag interpolation):
+  mean, std, p20, p50, p80, range(p80-p20), rising/falling slopes (8)
 - voicing probability: mean, std                                  (2)
 - jitter proxy (frame-to-frame F0 delta): mean, std               (2)
 - loudness (log-energy): mean, std(coeff-var), p20, p50, p80, range,
@@ -33,8 +34,9 @@ Feature catalog (documented so downstream users can interpret dimensions):
 - spectral centroid / spread / flux / rolloff(0.85): mean, std    (8)
 - mfcc 1..4: mean, std each                                       (8)
 - 13 mel-band log energies (octave-ish bands): mean, std each     (26)
-- formant-band proxies F1/F2/F3 (300-900/900-2500/2500-3500 Hz
-  centroid + relative energy): mean of each                       (6)
+- LPC formants F1/F2/F3 (order-14 Levinson-Durbin, spectral-envelope
+  peak picking with parabolic interpolation; frequency Hz +
+  relative level dB each): mean of each                           (6)
 - unvoiced/voiced segment stats: mean voiced-run length,
   mean unvoiced-run length, voiced ratio                          (3)
 - duration (log seconds), frame count (log)                       (2)
@@ -58,6 +60,8 @@ __all__ = [
     "egemaps_functionals",
     "egemaps_functionals_batch",
     "functionals_reference",
+    "lpc_formants",
+    "yin_pitch",
 ]
 
 N_GEMAPS = 88
@@ -107,12 +111,6 @@ def _lld(wave):
     alpha_hi = jnp.asarray(((_freqs() >= 1000) & (_freqs() < 5000)).astype(np.float32))
     ham_lo = jnp.asarray((_freqs() < 2000).astype(np.float32))
     ham_hi = jnp.asarray(((_freqs() >= 2000) & (_freqs() < 5000)).astype(np.float32))
-    formant_bands = [
-        jnp.asarray(((_freqs() >= 300) & (_freqs() < 900)).astype(np.float32)),
-        jnp.asarray(((_freqs() >= 900) & (_freqs() < 2500)).astype(np.float32)),
-        jnp.asarray(((_freqs() >= 2500) & (_freqs() < 3500)).astype(np.float32)),
-    ]
-
     frames, spec = FN.lld_stft_preamble(wave)  # (T, _NFFT), (T, n_freq)
     eps = 1e-10
 
@@ -165,16 +163,15 @@ def _lld(wave):
         jnp.dot(spec, bands, preferred_element_type=jnp.float32) + eps
     )  # (T, 13)
 
-    f0_log, voiced, best_val = autocorr_pitch(frames)
+    f0_log, voiced, best_val = yin_pitch(frames)
     hnr = 10.0 * jnp.log10(
         jnp.clip(best_val, 1e-4, 0.9999) / (1.0 - jnp.clip(best_val, 1e-4, 0.9999))
     )
 
+    fmt_freq, fmt_level = lpc_formants(frames)
     formant_feats = []
-    for fb_mask in formant_bands:
-        be = jnp.sum(spec * fb_mask[None, :], axis=1)
-        fc = jnp.sum(spec * (f * fb_mask)[None, :], axis=1) / (be + eps)
-        formant_feats += [fc, 10.0 * jnp.log10(be / total + eps)]
+    for i in range(3):
+        formant_feats += [fmt_freq[:, i], fmt_level[:, i]]
 
     tracks = jnp.stack(
         [
@@ -189,28 +186,234 @@ def _lld(wave):
     return tracks
 
 
-def autocorr_pitch(frames, n_fft: int = _NFFT, sr: int = _SR,
-                   voiced_thresh: float = 0.45):
-    """FFT-based frame autocorrelation pitch (50..500 Hz lag search).
+def yin_pitch(frames, n_fft: int = _NFFT, sr: int = _SR,
+              threshold: float = 0.15, voiced_thresh: float = 0.5):
+    """Subharmonic-robust YIN pitch (50..500 Hz search), fully vectorized.
 
-    ac[t] = irfft(|rfft(frame, 2N)|^2) — one transform, compile-friendly.
-    Returns (f0 in log2-semitones, voiced flag, autocorr peak ratio); shared
-    by the eGeMAPS and emobase LLD extractors.
+    Replaces the round-1 plain-autocorrelation argmax (whose global maximum
+    lands on lag 2*T0 — an octave-down error — whenever the window's second
+    period correlates as well as the first, and which misses missing-
+    fundamental harmonic stacks).  Classic YIN (de Cheveigné & Kawahara
+    2002) as one compile-friendly program:
+
+    - difference function over a FIXED integration window W = n_fft -
+      max_lag samples, so every lag sums the same number of terms:
+      d(tau) = e0 + e(tau) - 2 c(tau), with the cross term c(tau) from one
+      FFT correlation and the energy terms from a cumulative sum;
+    - cumulative-mean-normalized difference d'(tau) = d(tau) * tau /
+      cumsum(d)(tau) — this is what suppresses the subharmonic dips (they
+      inherit the growing cumulative mean);
+    - absolute-threshold dip picking: the FIRST local minimum below
+      ``threshold`` (fallback: global minimum), then parabolic
+      interpolation for sub-lag frequency resolution;
+    - pitch strength = 1 - d'(tau*): drop-in for the old autocorr peak
+      ratio (voicing flag + HNR proxy), same orientation.
+
+    Returns (f0 in log2-semitones, voiced flag, pitch strength); shared by
+    the eGeMAPS and emobase LLD extractors.  Ground-truth recovery is
+    pinned in tests/test_functionals.py against scipy-synthesized signals
+    with known F0, including a missing-fundamental stack.
     """
     eps = 1e-10
-    ac_frames = frames - jnp.mean(frames, axis=1, keepdims=True)
     min_lag, max_lag = sr // 500, sr // 50  # 32..320
-    spec_ac = jnp.fft.rfft(ac_frames, n=2 * n_fft, axis=1)
-    ac_full = jnp.fft.irfft(spec_ac * jnp.conj(spec_ac), axis=1).real
-    acs = ac_full[:, min_lag:max_lag]  # (T, n_lags)
-    ac0 = ac_full[:, 0] + eps
-    lags = np.arange(min_lag, max_lag)
-    best = jnp.argmax(acs, axis=1)
-    best_val = jnp.max(acs, axis=1) / ac0
-    f0 = sr / (jnp.asarray(lags.astype(np.float32))[best])
-    voiced = (best_val > voiced_thresh).astype(jnp.float32)
+    x = frames - jnp.mean(frames, axis=1, keepdims=True)
+    w = n_fft - max_lag  # fixed integration window (480 samples = 30 ms)
+
+    # c(tau) = sum_{j<w} x[j] x[j+tau] via FFT correlation: taking
+    # irfft(conj(rfft(head)) * rfft(x)) at index tau sums exactly that.
+    head = x * (jnp.arange(n_fft) < w).astype(x.dtype)[None, :]
+    n2 = 2 * n_fft
+    c = jnp.fft.irfft(
+        jnp.conj(jnp.fft.rfft(head, n=n2, axis=1))
+        * jnp.fft.rfft(x, n=n2, axis=1),
+        axis=1,
+    ).real[:, : max_lag + 1]
+    # e(tau) = sum_{j<w} x[j+tau]^2 from one cumulative sum
+    cs = jnp.cumsum(
+        jnp.concatenate([jnp.zeros((x.shape[0], 1), x.dtype), x * x], axis=1),
+        axis=1,
+    )
+    taus = np.arange(max_lag + 1)
+    e = cs[:, taus + w] - cs[:, taus]
+    d = e[:, :1] + e - 2.0 * c  # (T, max_lag+1), d(0) = 0
+    # CMNDF; d'(0) := 1 by definition
+    cum = jnp.cumsum(d[:, 1:], axis=1)
+    dp = jnp.concatenate(
+        [jnp.ones((d.shape[0], 1), d.dtype),
+         d[:, 1:] * jnp.asarray(taus[1:], d.dtype) / (cum + eps)],
+        axis=1,
+    )
+    # first local-min dip below threshold within the search band
+    in_band = ((taus >= min_lag) & (taus < max_lag))[None, :]
+    nxt = jnp.concatenate([dp[:, 1:], jnp.full_like(dp[:, :1], np.inf)], axis=1)
+    dips = (dp < threshold) & (nxt >= dp) & in_band
+    has_dip = jnp.any(dips, axis=1)
+    first_dip = jnp.argmax(dips, axis=1)
+    global_min = jnp.argmin(jnp.where(in_band, dp, np.inf), axis=1)
+    tau0 = jnp.where(has_dip, first_dip, global_min)
+    # parabolic interpolation around tau0 on d'
+    t_idx = jnp.arange(dp.shape[0])
+    y0 = dp[t_idx, jnp.maximum(tau0 - 1, 0)]
+    y1 = dp[t_idx, tau0]
+    y2 = dp[t_idx, jnp.minimum(tau0 + 1, max_lag)]
+    denom = y0 - 2.0 * y1 + y2
+    delta = jnp.clip(0.5 * (y0 - y2) / jnp.where(
+        jnp.abs(denom) > eps, denom, 1.0), -0.5, 0.5)
+    tau_star = tau0.astype(jnp.float32) + jnp.where(
+        jnp.abs(denom) > eps, delta, 0.0)
+    f0 = jnp.clip(sr / jnp.maximum(tau_star, 1.0), 50.0, 500.0)
+    strength = jnp.clip(1.0 - y1, 0.0, 1.0)
+    voiced = (strength > voiced_thresh).astype(jnp.float32)
     f0_log = jnp.log2(jnp.maximum(f0, 1.0)) * 12.0  # semitone scale
-    return f0_log, voiced, best_val
+    return f0_log, voiced, strength
+
+
+_LPC_ORDER = 14
+_ENV_NF = 160  # 25 Hz grid over 0..4 kHz; parabolic interp refines peaks
+
+
+@functools.lru_cache(maxsize=None)
+def _env_grid(order: int = _LPC_ORDER, nf: int = _ENV_NF):
+    """Frequency grid + complex-exponential GEMM matrices for evaluating the
+    LPC envelope |1/A(e^{jw})|^2 as two (order+1, nf) real matmuls."""
+    f_env = np.linspace(0.0, 4000.0, nf)
+    w = 2.0 * np.pi * f_env / _SR
+    j = np.arange(order + 1)[:, None]
+    return (
+        f_env.astype(np.float32),
+        np.cos(j * w[None, :]).astype(np.float32),
+        np.sin(j * w[None, :]).astype(np.float32),
+    )
+
+
+def _lpc_env(frames, n_fft: int = _NFFT, order: int = _LPC_ORDER):
+    """(T, _ENV_NF) LPC spectral envelope in dB for raw frames.
+
+    Pre-emphasis + Hann window -> FFT autocorrelation r[0..order] ->
+    Levinson-Durbin (unrolled over the static order, batched over frames,
+    with a white-noise ridge on r[0]) -> |1/A|^2 on the fixed grid as two
+    GEMMs against the cached cos/sin matrices.
+    """
+    eps = 1e-10
+    _, cos_m, sin_m = _env_grid(order)
+
+    pre = jnp.concatenate(
+        [frames[:, :1], frames[:, 1:] - 0.97 * frames[:, :-1]], axis=1
+    )
+    win = jnp.asarray(F.hann_window(n_fft))
+    xw = pre * win[None, :]
+
+    spec_ac = jnp.fft.rfft(xw, n=2 * n_fft, axis=1)
+    r = jnp.fft.irfft(spec_ac * jnp.conj(spec_ac), axis=1).real[:, : order + 1]
+    r = r / (r[:, :1] + eps)  # normalize; r[0] = 1
+    r = r.at[:, 0].add(1e-3)  # white-noise ridge: poles off the unit circle
+
+    a = jnp.zeros((frames.shape[0], order + 1), frames.dtype)
+    err = r[:, 0]
+    for i in range(1, order + 1):
+        acc = jnp.zeros_like(err)
+        for j in range(1, i):
+            acc = acc + a[:, j] * r[:, i - j]
+        # |k| < 1 and err > 0 are invariants of exact Levinson; in float32
+        # a near-perfectly-predictable frame (noiseless synthetic) drives
+        # err toward 0, rounding pushes |k| past 1, err goes NEGATIVE, and
+        # the rest of the recursion is garbage (measured: batch-FFT rounding
+        # differences alone flipped frames into divergence).  Clamping k and
+        # flooring err restores the invariants; neither bites on frames with
+        # a real noise floor (err >= ridge ~ 1e-3 there).
+        k = jnp.clip((r[:, i] - acc) / jnp.maximum(err, 1e-5), -0.9995, 0.9995)
+        new_a = a.at[:, i].set(k)
+        for j in range(1, i):
+            new_a = new_a.at[:, j].set(a[:, j] - k * a[:, i - j])
+        a = new_a
+        err = jnp.maximum(err * (1.0 - k * k), 1e-6)
+
+    # A(z) = 1 - sum_j a_j z^-j; envelope in dB on the fixed grid.
+    # Bandwidth expansion (a_j *= 0.99^j) moves every pole inward by the
+    # same factor WITHOUT changing its angle: on near-perfectly-predictable
+    # frames (noiseless synthetics) the prediction error underflows, the
+    # reflection coefficients saturate at +-1, and float32 rounding of the
+    # near-unit-circle poles splits each resonance into peak pairs
+    # ("spectral line splitting" — measured 1.6 dB batch-vs-single-row
+    # envelope jitter before this); ~50 Hz of added bandwidth makes the
+    # envelope insensitive to that jitter while leaving peak positions
+    # intact, where a stronger autocorrelation ridge instead merges close
+    # formants (/o/ F1-F2 was eaten at ridge 1e-2).
+    coef = jnp.concatenate([jnp.ones((a.shape[0], 1), a.dtype), -a[:, 1:]],
+                           axis=1)
+    coef = coef * jnp.asarray(
+        (0.99 ** np.arange(order + 1)).astype(np.float32))[None, :]
+    # Precision.HIGHEST is load-bearing, not belt-and-braces: backends
+    # accelerate "f32" matmuls with bf16 passes by default (measured on
+    # XLA:CPU: 1.8e-2 abs error on this (T,15)x(15,160) dot for batched
+    # rows — bf16 mantissa exactly), and a bf16 envelope splits every
+    # sharp resonance into spurious peak pairs.  These dots are 15-wide;
+    # full precision costs nothing.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(coef, jnp.asarray(cos_m), precision=hi,
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(coef, jnp.asarray(sin_m), precision=hi,
+                 preferred_element_type=jnp.float32)
+    return -10.0 * jnp.log10(re * re + im * im + eps)
+
+
+def lpc_formants(frames, n_fft: int = _NFFT, sr: int = _SR,
+                 order: int = _LPC_ORDER,
+                 lo: float = 200.0, hi: float = 3800.0):
+    """Per-frame F1/F2/F3 by LPC spectral-envelope peak picking.
+
+    Replaces the round-1 band-centroid "formant proxies" (a fixed-band
+    energy centroid is not a resonance estimate) with real linear
+    prediction — the standard formant front-end, done the TPU way:
+
+    - pre-emphasized, Hann-windowed frames -> autocorrelation r[0..p] via
+      one FFT (p = 14, the usual 2 + sr/1000 rule rounded to an even
+      order at 16 kHz);
+    - Levinson-Durbin unrolled over the STATIC order (p tiny, vectorized
+      over frames — no data-dependent control flow under jit), with a
+      white-noise ridge on r[0] so marginally-voiced frames stay stable;
+    - the envelope 1/|A|^2 evaluated on a fixed 25 Hz grid as two MXU
+      GEMMs against cos/sin matrices (polynomial root finding needs a
+      nonsymmetric eigensolver, which TPUs don't have — envelope peaks
+      are the compile-friendly equivalent);
+    - the first three local maxima in [lo, hi] Hz, each refined by
+      parabolic interpolation; frames with fewer than three peaks fall
+      back to neutral 500/1500/2500 Hz at relative level 0.
+
+    Returns ((T, 3) frequencies Hz, (T, 3) levels dB relative to the
+    frame's mean envelope).  Ground-truth recovery on scipy-synthesized
+    vowels (known resonator poles) is pinned in tests/test_functionals.py.
+    """
+    eps = 1e-10
+    f_env_np, _, _ = _env_grid(order)
+    f_env = jnp.asarray(f_env_np)
+    df = float(f_env_np[1] - f_env_np[0])
+    env_db = _lpc_env(frames, n_fft=n_fft, order=order)
+    env_mean = jnp.mean(env_db, axis=1, keepdims=True)
+
+    # first three interior local maxima inside the formant band
+    band = ((f_env_np >= lo) & (f_env_np <= hi))[None, 1:-1]
+    local_max = (env_db[:, 1:-1] > env_db[:, :-2]) & (
+        env_db[:, 1:-1] >= env_db[:, 2:])
+    peaks = jnp.pad(local_max & band, ((0, 0), (1, 1)))
+    cnt = jnp.cumsum(peaks, axis=1)
+    t_idx = jnp.arange(frames.shape[0])
+    defaults = (500.0, 1500.0, 2500.0)
+    freqs, levels = [], []
+    for i in range(3):
+        sel = peaks & (cnt == i + 1)  # at most one True per row
+        has = jnp.any(sel, axis=1)
+        k = jnp.argmax(sel, axis=1)
+        y0 = env_db[t_idx, jnp.maximum(k - 1, 0)]
+        y1 = env_db[t_idx, k]
+        y2 = env_db[t_idx, jnp.minimum(k + 1, env_db.shape[1] - 1)]
+        denom = y0 - 2.0 * y1 + y2
+        delta = jnp.clip(0.5 * (y0 - y2) / jnp.where(
+            jnp.abs(denom) > eps, denom, 1.0), -0.5, 0.5)
+        fk = f_env[k] + jnp.where(jnp.abs(denom) > eps, delta, 0.0) * df
+        freqs.append(jnp.where(has, fk, defaults[i]))
+        levels.append(jnp.where(has, y1 - env_mean[:, 0], 0.0))
+    return jnp.stack(freqs, axis=1), jnp.stack(levels, axis=1)
 
 
 _lld_jit = jax.jit(_lld)

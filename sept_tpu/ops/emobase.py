@@ -46,7 +46,7 @@ import numpy as np
 
 from sept_tpu.ops import frontend as F
 from sept_tpu.ops import functionals as FN
-from sept_tpu.ops.egemaps import autocorr_pitch
+from sept_tpu.ops.egemaps import yin_pitch
 
 __all__ = ["N_EMOBASE", "N_LLD", "N_FUNCTIONALS", "combined_functionals_batch",
            "emobase_functionals", "emobase_functionals_batch"]
@@ -88,7 +88,7 @@ def _lld(wave):
         axis=1,
     )
 
-    f0_log, voiced, vprob = autocorr_pitch(frames)
+    f0_log, voiced, vprob = yin_pitch(frames)
     f0_hz = jnp.where(voiced > 0.5, jnp.exp2(f0_log / 12.0), 0.0)
     # F0 envelope: exponential-decay running max (emobase's env track analog);
     # a scan over frames — tiny (T steps of scalar work), fused by XLA
