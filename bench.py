@@ -24,14 +24,37 @@ reference repo publishes no numbers of its own, BASELINE.md).
 BUDGET DISCIPLINE (the driver runs this under a hard timeout): the bench is
 headline-first.  Only two stages are required to print a result — the
 parity-mode ingest and the production (bf16 + fused-conv) training epoch.
-The EXTRAS (f32 epoch, bf16-XLA epoch, batch-128 epoch, MFU) are gated on
+The EXTRAS (MFU, f32 epoch, bf16-XLA epoch, batch-128 epoch) are gated on
 measured per-extra worst-case COLD costs (2026-08-20 on-chip session:
 shared init_state 13 s f32 / 62 s fused1, epoch compiles 16-24 s per
 variant, bf16-XLA up to 88 s, MFU step lowering 17 s) against the
 remaining ``SEPT_BENCH_BUDGET_S`` (default 420 s) — a fully COLD cache
 fits every extra inside the default budget, so there is no cold-cache
-gating or seed-marker machinery anymore.  Three design choices make that
-true:
+gating or seed-marker machinery anymore.
+
+THE DEADLINE IS ENFORCED EVERYWHERE, including on the required stages
+(round-4 driver run: the shared-init -> headline compile path alone took
+~1045 s on a degraded tunnel and blew a 420 s budget with nothing to show
+for it).  Two mechanisms:
+
+- before each required stage the bench checks ``remaining()`` and, if the
+  stage cannot fit, emits the JSON with what exists (an honest
+  ``headline:budget`` skip beats a stale headline);
+- a WATCHDOG daemon thread emits the best-known partial JSON and
+  ``os._exit(0)``s at ``deadline - 15 s`` if the final JSON has not been
+  printed — this fires even when the main thread is wedged inside a C++
+  XLA compile (the degraded-tunnel mode), where no in-Python check can
+  run.  Every stage updates the watchdog's payload first, so whatever was
+  measured before the wedge is reported with ``<stage>:watchdog`` in
+  ``skipped``.
+
+``detail.stages`` records warmup (compile+first-run) vs best steady-state
+seconds PER STAGE, so a headline swing between rounds is attributable from
+the artifact alone (slow tunnel = warmup blows up, slow code = best run
+moves).  MFU is emitted BEFORE the other extras: it only needs one step
+lowering of the already-initialized f32 model.
+
+Three design choices keep a fully cold cache inside the default budget:
 
 - ONE ``init_state`` is shared by every epoch variant (the f32 / bf16 /
   fused-conv models have identical param trees, values, and dtypes — only
@@ -73,12 +96,28 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
 V5E_BF16_PEAK = 197e12  # FLOP/s, one v5e chip
 T0 = time.perf_counter()
+
+_PRINT_LOCK = threading.Lock()
+_PRINTED = False
+
+
+def print_json_once(obj) -> bool:
+    """Print the ONE stdout JSON line exactly once (main thread and the
+    watchdog race for it; whoever gets here first wins)."""
+    global _PRINTED
+    with _PRINT_LOCK:
+        if _PRINTED:
+            return False
+        _PRINTED = True
+        print(json.dumps(obj), flush=True)
+        return True
 
 
 def _probe_device(timeout_s: float) -> bool:
@@ -118,6 +157,49 @@ def main():
 
     skipped: list = []
     detail: dict = {}
+    stages: dict = {}  # per-stage {"warmup_s": compile+first run, "best_s"}
+    detail["stages"] = stages
+
+    # ---- watchdog: hard stop at deadline - 15 s, firing even when the
+    # main thread is wedged inside a C++ XLA compile (degraded tunnel) ----
+    wd = {"stage": "startup", "t_feat": None, "t_train_head": None,
+          "n_utts": None, "headline_metric": None, "headline_unit": None,
+          "ref_utts_per_sec": None}
+
+    def _watchdog_fire():
+        det = dict(detail)
+        det["budget_s"] = budget
+        det["elapsed_s"] = round(time.perf_counter() - T0, 1)
+        det["skipped"] = list(skipped) + [f"{wd['stage']}:watchdog"]
+        n = wd["n_utts"]
+        if wd["t_train_head"] is not None:
+            val = n / (wd["t_feat"] + wd["t_train_head"])
+            metric, unit = wd["headline_metric"], wd["headline_unit"]
+            vs = (round(val / wd["ref_utts_per_sec"], 2)
+                  if wd["ref_utts_per_sec"] else None)
+        elif wd["t_feat"] is not None:
+            val = round(n / wd["t_feat"], 2)
+            metric = ("FEATURIZE-ONLY utterances/sec — watchdog cut the run "
+                      f"during '{wd['stage']}' before the headline epoch "
+                      "completed (budget exhausted; degraded tunnel?) — NOT "
+                      "the headline featurize+train chip metric")
+            unit, vs = "utt/s (featurize only)", None
+        else:
+            val, vs = None, None
+            metric = (f"no stage completed before the watchdog deadline "
+                      f"(cut during '{wd['stage']}')")
+            unit = ""
+        if print_json_once({"metric": metric,
+                            "value": round(val, 2) if val else val,
+                            "unit": unit, "vs_baseline": vs,
+                            "detail": det}):
+            sys.stdout.flush()
+            os._exit(0)
+
+    watchdog = threading.Timer(
+        max(5.0, budget - (time.perf_counter() - T0) - 15.0), _watchdog_fire)
+    watchdog.daemon = True
+    watchdog.start()
 
     forced_cpu = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu"
     fallback = False
@@ -211,9 +293,20 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return ds, best, warm
 
+    wd["n_utts"] = N_UTTS
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "reference_cpu.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            wd["ref_utts_per_sec"] = json.load(f)["utts_per_sec"]
+
     _progress(f"start ingest (n_utts={N_UTTS}, backend={jax.default_backend()}"
               f", budget={budget:.0f}s)")
+    wd["stage"] = "ingest"
     ds, t_feat, warm_feat = timed_ingest("xla", RESERVE_EPOCH)
+    stages["ingest"] = {"warmup_s": round(warm_feat, 3),
+                        "best_s": round(t_feat, 3)}
+    wd["t_feat"] = t_feat
     _progress(f"ingest done: warm={warm_feat:.1f}s best={t_feat:.2f}s")
 
     # ---- HAZARD extras: generous budgets only (see module docstring);
@@ -222,8 +315,11 @@ def main():
     if not on_cpu and generous and remaining() > RESERVE_EPOCH + 120:
         try:
             _progress("start bf16 ingest (generous budget)")
-            _, t_feat_bf16, _ = timed_ingest("pallas_bf16",
-                                             RESERVE_EPOCH + 60)
+            wd["stage"] = "featurize_bf16"
+            _, t_feat_bf16, warm_bf16 = timed_ingest("pallas_bf16",
+                                                     RESERVE_EPOCH + 60)
+            stages["featurize_bf16"] = {"warmup_s": round(warm_bf16, 3),
+                                        "best_s": round(t_feat_bf16, 3)}
         except Exception:
             skipped.append("featurize_bf16:error")
 
@@ -231,6 +327,7 @@ def main():
     if not on_cpu and generous and remaining() > RESERVE_EPOCH + 180:
         try:
             _progress("start functionals (generous budget)")
+            wd["stage"] = "functionals"
             from sept_tpu.ops.emobase import combined_functionals_batch
 
             sub = {k: waves[k] for k in list(waves)[:min(128, N_UTTS)]}
@@ -275,20 +372,57 @@ def main():
     order = jnp.asarray(np.random.default_rng(0).permutation(m_total))
 
     model_f32 = Conv2dBiRNN(hidden_size=64, pred="emotion")
+
+    def emit_featurize_only(reason: str):
+        """Honest partial result when the budget dies before the headline:
+        featurize-only throughput with a ``headline:<reason>`` skip."""
+        detail.update({
+            "n_utts": N_UTTS,
+            "featurize_s": round(t_feat, 3),
+            "featurize_warmup_s": round(warm_feat, 3),
+            "device": str(jax.devices()[0]),
+            "budget_s": budget,
+            "elapsed_s": round(time.perf_counter() - T0, 1),
+            "skipped": skipped + [f"headline:{reason}"],
+        })
+        print_json_once({
+            "metric": "FEATURIZE-ONLY utterances/sec — budget exhausted "
+                      f"before the headline epoch ({reason}) — NOT the "
+                      "headline featurize+train chip metric",
+            "value": round(N_UTTS / t_feat, 2),
+            "unit": "utt/s (featurize only)",
+            "vs_baseline": None,
+            "detail": detail,
+        })
+        watchdog.cancel()
+
+    # required-stage deadline check: shared f32 init ~13 s cold + headline
+    # epoch compile ~24 s cold + runs; below 75 s the pair cannot fit
+    if not fallback and remaining() < 75:
+        emit_featurize_only("budget")
+        return
+
     # ONE init serves every variant: the f32/bf16/fused models share
     # identical param trees, values, and dtypes (f32 params; compute dtype
     # and conv backend only change the apply path), and the f32 init
     # program is the cheapest to compile (13 s vs 62 s for the fused one).
     _progress("init state (shared across variants)")
+    wd["stage"] = "init_state"
+    t0 = time.perf_counter()
     state0 = init_state(model_f32, tx, jax.random.PRNGKey(8), dummy)
+    jax.block_until_ready(state0.params)
+    stages["init_state"] = {"warmup_s": round(time.perf_counter() - t0, 3)}
 
     def timed_epoch(model, reserve, batch=BATCH):
-        """warmup (compile) + up-to-REPEATS timed epochs on shared state."""
+        """warmup (compile+first run) + up-to-REPEATS timed epochs on the
+        shared state.  Returns (best steady-state s, warmup s)."""
         nb = m_total // batch
         run_epoch = make_epoch_runner(model, tx)
+        t0 = time.perf_counter()
         out = run_epoch(state0, ds.windows, ds.labels_emo, ds.weight, order,
                         n_batches=nb, batch_size=batch)  # warmup
         jax.block_until_ready(out[0].params)
+        warm = time.perf_counter() - t0
         best = float("inf")
         for _ in range(REPEATS):
             if best < float("inf") and remaining() < reserve:
@@ -298,7 +432,7 @@ def main():
                             order, n_batches=nb, batch_size=batch)
             jax.block_until_ready(out[0].params)
             best = min(best, time.perf_counter() - t0)
-        return best
+        return best, warm
 
     # ---- chip-unreachable fallback: featurize-only ----
     # measured on this host: the scanned-epoch XLA:CPU compile alone takes
@@ -315,7 +449,7 @@ def main():
             "elapsed_s": round(time.perf_counter() - T0, 1),
             "skipped": skipped + ["train_epoch:chip_unreachable"],
         })
-        print(json.dumps({
+        print_json_once({
             "metric": "FEATURIZE-ONLY utterances/sec, CPU-fallback (TPU "
                       "unreachable at bench time) — NOT the headline "
                       "featurize+train chip metric",
@@ -323,7 +457,8 @@ def main():
             "unit": "utt/s (cpu, featurize only)",
             "vs_baseline": None,
             "detail": detail,
-        }))
+        })
+        watchdog.cancel()
         return
 
     # ---- timed (HEADLINE): the production training epoch ----
@@ -337,6 +472,10 @@ def main():
     if on_cpu:
         headline_model = model_f32
         headline_mode = "f32 XLA featurize+epoch on the CPU backend"
+        wd["headline_metric"] = (
+            "featurize+train utterances/sec on the CPU BACKEND — NOT the "
+            "chip headline")
+        wd["headline_unit"] = "utt/s (cpu)"
     else:
         headline_model = Conv2dBiRNN(hidden_size=64, pred="emotion",
                                      dtype=jnp.bfloat16,
@@ -344,17 +483,55 @@ def main():
         headline_mode = ("parity-mode f32 featurize + bf16-compute train "
                          "epoch with fused first-conv-block Pallas kernels "
                          "(--compute_dtype bfloat16 --conv_backend auto)")
+        wd["headline_metric"] = (
+            "featurize+train utterances/sec/chip (2.5s utts, mel128 + "
+            "Conv2dBiRNN epoch, bf16 compute + fused conv kernels)")
+        wd["headline_unit"] = "utt/s/chip"
+    if remaining() < 40:
+        emit_featurize_only("budget")
+        return
     _progress("start headline epoch")
-    t_train_head = timed_epoch(headline_model, 20.0)
-    _progress(f"headline epoch done: {t_train_head:.2f}s")
+    wd["stage"] = "headline_epoch"
+    t_train_head, warm_head = timed_epoch(headline_model, 20.0)
+    stages["headline_epoch"] = {"warmup_s": round(warm_head, 3),
+                                "best_s": round(t_train_head, 3)}
+    wd["t_train_head"] = t_train_head
+    _progress(f"headline epoch done: warm={warm_head:.1f}s "
+              f"best={t_train_head:.2f}s")
 
     # ---- the headline is now measurable; everything below is extra ----
     total = t_feat + t_train_head
     utts_per_sec = N_UTTS / total
 
-    # Extras, cheapest-compile-first so a shrinking budget drops the most
-    # expensive one (bf16-XLA) first.  Reserves = measured worst-case cold
-    # cost + final-JSON margin (module docstring).
+    # Extras — MFU FIRST (cheapest, and the longest-standing null in the
+    # driver artifacts: it needs only one step lowering of the
+    # already-initialized f32 model), then cheapest-compile-first so a
+    # shrinking budget drops the most expensive one (bf16-XLA) first.
+    # Reserves = measured worst-case cold cost + final-JSON margin.
+
+    # extra: MFU — XLA-counted FLOPs of ONE train step x n_batches /
+    # elapsed / peak.  (cost_analysis on the scanned epoch counts the scan
+    # body once, not x n_batches, so the per-step program is the honest
+    # FLOP source; the f32 lowering is used because XLA counts conv FLOPs
+    # there, while the fused-Pallas custom calls report none.)
+    flops = None
+    if remaining() <= 45:
+        skipped.append("mfu_lowering:budget")
+    else:
+        try:
+            _progress("start mfu lowering")
+            wd["stage"] = "mfu_lowering"
+            from sept_tpu.train import make_baseline_step
+
+            t0 = time.perf_counter()
+            step = make_baseline_step(model_f32, tx)
+            cost = step.lower(state0, dummy).compile().cost_analysis()
+            stages["mfu_lowering"] = {
+                "warmup_s": round(time.perf_counter() - t0, 3)}
+            if cost and cost.get("flops"):
+                flops = float(cost["flops"]) * n_batches
+        except Exception:
+            skipped.append("mfu_lowering:error")
 
     # extra: f32 epoch (the full-parity mode)
     t_train = None
@@ -365,7 +542,10 @@ def main():
     else:
         try:
             _progress("start f32 epoch")
-            t_train = timed_epoch(model_f32, 45.0)
+            wd["stage"] = "train_epoch_f32"
+            t_train, warm_f32 = timed_epoch(model_f32, 45.0)
+            stages["train_epoch_f32"] = {"warmup_s": round(warm_f32, 3),
+                                         "best_s": round(t_train, 3)}
         except Exception:
             skipped.append("train_epoch_f32:error")
 
@@ -386,30 +566,14 @@ def main():
     else:
         try:
             _progress("start b128 epoch")
-            t_train_b128 = timed_epoch(headline_model, 45.0, batch=128)
+            wd["stage"] = "train_epoch_b128"
+            t_train_b128, warm_b128 = timed_epoch(headline_model, 45.0,
+                                                  batch=128)
+            stages["train_epoch_b128"] = {
+                "warmup_s": round(warm_b128, 3),
+                "best_s": round(t_train_b128, 3)}
         except Exception:
             skipped.append("train_epoch_b128:error")
-
-    # extra: MFU — XLA-counted FLOPs of ONE train step x n_batches /
-    # elapsed / peak.  The step program lowering is a persistent-cache hit
-    # when the f32 epoch already compiled this session's programs; cold it
-    # costs ~17 s.  (cost_analysis on the scanned epoch counts the scan
-    # body once, not x n_batches, so the per-step program is the honest
-    # FLOP source.)
-    flops = None
-    if remaining() <= 45:
-        skipped.append("mfu_lowering:budget")
-    else:
-        try:
-            _progress("start mfu lowering")
-            from sept_tpu.train import make_baseline_step
-
-            step = make_baseline_step(model_f32, tx)
-            cost = step.lower(state0, dummy).compile().cost_analysis()
-            if cost and cost.get("flops"):
-                flops = float(cost["flops"]) * n_batches
-        except Exception:
-            skipped.append("mfu_lowering:error")
 
     # extra: bf16 epoch with the plain XLA conv lowering (the most
     # expensive cold compile of the set: up to ~88 s measured)
@@ -421,21 +585,22 @@ def main():
     else:
         try:
             _progress("start bf16-xla epoch")
-            t_train_bf16 = timed_epoch(
+            wd["stage"] = "train_epoch_bf16_xla"
+            t_train_bf16, warm_bx = timed_epoch(
                 Conv2dBiRNN(hidden_size=64, pred="emotion",
                             dtype=jnp.bfloat16), 45.0)
+            stages["train_epoch_bf16_xla"] = {
+                "warmup_s": round(warm_bx, 3),
+                "best_s": round(t_train_bf16, 3)}
         except Exception:
             skipped.append("train_epoch_bf16_xla:error")
 
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "reference_cpu.json")
+    wd["stage"] = "final_json"
     vs_baseline = None
     # vs_baseline compares the CHIP pipeline to the torch-CPU reference;
     # a forced-CPU diagnostics run is neither, so it reports no ratio
-    if not on_cpu and os.path.exists(ref_path):
-        with open(ref_path) as f:
-            ref = json.load(f)
-        vs_baseline = round(utts_per_sec / ref["utts_per_sec"], 2)
+    if not on_cpu and wd["ref_utts_per_sec"]:
+        vs_baseline = round(utts_per_sec / wd["ref_utts_per_sec"], 2)
 
     detail.update({
         "baseline": "reference pipeline, eager torch-CPU, 1 thread/1 core"
@@ -485,13 +650,14 @@ def main():
         metric = ("featurize+train utterances/sec/chip (2.5s utts, mel128 +"
                   " Conv2dBiRNN epoch, bf16 compute + fused conv kernels)")
         unit = "utt/s/chip"
-    print(json.dumps({
+    print_json_once({
         "metric": metric,
         "value": round(utts_per_sec, 2),
         "unit": unit,
         "vs_baseline": vs_baseline,
         "detail": detail,
-    }))
+    })
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

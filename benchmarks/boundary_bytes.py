@@ -12,7 +12,11 @@ shapes — evidence, not inference, for where the remaining traffic lives.
 Byte model per instruction: output bytes + sum of operand bytes (the
 conventional touch count; intra-fusion temporaries are invisible, which is
 exactly right — fused elementwise traffic is free on the roofline).
-Parameters/constants are charged to their consumers only.
+Operand types are parsed from the instruction's argument list in the
+post-optimization HLO text, so a reduce consuming a large tensor into a
+scalar is charged its read traffic.  Parameters/constants are charged to
+their consumers only.  Category tables report output and operand bytes
+separately so either model can be read off.
 
 Usage (on-chip): python benchmarks/boundary_bytes.py [--batch 32]
                  [--mode fused1|xla|f32] [--top 25] [--out JSONL]
@@ -61,19 +65,114 @@ def shape_bytes(type_str: str) -> int:
     return total
 
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^=]*?\))|(?:[\w\[\],{}\s/]+?))\s*"
-    r"([\w\-]+)\(")
+_OPND_RE = re.compile(r"%([\w.\-]+)")
+
+
+def _strip_braces(s: str) -> str:
+    """Remove every ``{...}`` block (layout annotations like
+    ``{2,1,0:T(8,128)S(1)}`` and backend_config JSON — both can contain
+    parens that would confuse the opcode/operand scan; JSON nests braces,
+    so strip innermost-first to a fixed point)."""
+    while True:
+        t = re.sub(r"\{[^{}]*\}", "", s)
+        if t == s:
+            return t
+        s = t
+
+
+def _split_instr(line: str):
+    """Parse one post-opt HLO instruction line into
+    (name, type_str, opcode, operand_names) or None.
+
+    Real TPU HLO references operands by NAME only (``add(%a, %b)``), so
+    operand byte attribution needs the caller to resolve names against a
+    symbol table of output types (see parse_hlo).  Attributes after the
+    operand list (``to_apply=%region``, ``calls=%fused_computation``,
+    ``select=%...``) also contain %names — the scan stops at the operand
+    list's matching close paren so computation references are not charged
+    as data operands.
+    """
+    s = line.strip()
+    if s.startswith("ROOT "):
+        s = s[5:]
+    if not s.startswith("%"):
+        return None
+    eq = s.find(" = ")
+    if eq < 0:
+        return None
+    name = s[1:eq]
+    rhs = _strip_braces(s[eq + 3:])
+    if rhs.startswith("("):  # tuple-typed output
+        depth = 0
+        end = 0
+        for i, ch in enumerate(rhs):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        type_str, rest = rhs[: end + 1], rhs[end + 1:]
+    else:
+        sp = rhs.find(" ")
+        if sp < 0:
+            return None
+        type_str, rest = rhs[:sp], rhs[sp + 1:]
+    m = re.match(r"\s*([\w\-]+)\(", rest)
+    if not m:
+        return None
+    opcode = m.group(1)
+    depth, cut = 1, len(rest)
+    for i in range(m.end(), len(rest)):
+        ch = rest[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                cut = i
+                break
+    operand_names = _OPND_RE.findall(rest[m.end():cut])
+    return name, type_str, opcode, operand_names
 
 
 def parse_hlo(text: str):
-    """Yield (name, opcode, out_bytes, line) for every instruction."""
+    """Yield (name, opcode, out_bytes, operand_bytes, line) for every
+    instruction in the ENTRY computation.
+
+    Only ENTRY instructions touch HBM buffers the scheduler materializes;
+    instructions inside fused computations / reduce regions are free
+    (intra-fusion traffic) and are skipped by construction.  Two passes:
+    first build a name -> output-bytes symbol table (parameters included),
+    then charge each instruction output bytes + sum of its operands' bytes
+    looked up by name.
+    """
+    entry_lines = []
+    in_entry = False
     for line in text.splitlines():
-        m = _INSTR_RE.match(line)
-        if not m:
+        if line.startswith("ENTRY"):
+            in_entry = True
             continue
-        name, type_str, opcode = m.groups()
-        yield name, opcode, shape_bytes(type_str), line.strip()
+        if in_entry:
+            if line.startswith("}"):
+                break
+            entry_lines.append(line)
+
+    parsed = []
+    table: dict = {}
+    for line in entry_lines:
+        ins = _split_instr(line)
+        if ins is None:
+            continue
+        name, type_str, opcode, opnds = ins
+        out_b = shape_bytes(type_str)
+        table[name] = out_b
+        parsed.append((name, opcode, out_b, opnds, line.strip()))
+
+    for name, opcode, out_b, opnds, line in parsed:
+        op_b = sum(table.get(o, 0) for o in opnds)
+        yield name, opcode, out_b, op_b, line
 
 
 def main():
@@ -120,9 +219,10 @@ def main():
     cost = compiled.cost_analysis() or {}
     hlo = compiled.as_text()
 
-    cats: dict[str, float] = {}
-    movers = []
-    for name, opcode, out_b, line in parse_hlo(hlo):
+    cats_out: dict[str, float] = {}
+    cats_opnd: dict[str, float] = {}
+    top_all = []
+    for name, opcode, out_b, op_b, line in parse_hlo(hlo):
         if opcode in ("parameter", "constant", "tuple", "get-tuple-element"):
             continue
         cat = (
@@ -135,33 +235,43 @@ def main():
             else "fusion" if opcode == "fusion"
             else "other"
         )
-        cats[cat] = cats.get(cat, 0.0) + out_b
-        if cat == "movement":
-            movers.append((out_b, opcode, name, line[:160]))
+        cats_out[cat] = cats_out.get(cat, 0.0) + out_b
+        cats_opnd[cat] = cats_opnd.get(cat, 0.0) + op_b
+        # op_name metadata localizes the instruction to a model layer
+        mm = re.search(r'op_name="([^"]*)"', line)
+        top_all.append((out_b + op_b, out_b, opcode, cat, name,
+                        mm.group(1)[:120] if mm else line[:120]))
 
-    total_out = sum(cats.values())
+    total_out = sum(cats_out.values())
+    total_touch = total_out + sum(cats_opnd.values())
     print(f"mode={args.mode} batch={b}")
     print(f"XLA cost model: bytes accessed = "
           f"{float(cost.get('bytes accessed', 0))/1e9:.3f} GB, "
           f"flops = {float(cost.get('flops', 0))/1e9:.1f} G")
-    print(f"sum of instruction OUTPUT bytes (post-opt HLO) = "
-          f"{total_out/1e9:.3f} GB")
-    for cat, v in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:12s} {v/1e6:10.1f} MB")
-    movers.sort(reverse=True)
-    print(f"\ntop {args.top} surviving data-movement ops (output bytes):")
-    for out_b, opcode, name, line in movers[:args.top]:
-        print(f"  {out_b/1e6:8.2f} MB  {opcode:22s} {line}")
+    print(f"ENTRY instruction OUTPUT bytes = {total_out/1e9:.3f} GB; "
+          f"output+operand = {total_touch/1e9:.3f} GB")
+    print(f"  {'category':12s} {'out MB':>10s} {'operand MB':>12s}")
+    for cat, v in sorted(cats_out.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:12s} {v/1e6:10.1f} {cats_opnd.get(cat, 0.0)/1e6:12.1f}")
+    top_all.sort(reverse=True)
+    print(f"\ntop {args.top} ENTRY instructions by out+operand bytes:")
+    for tot_b, out_b, opcode, cat, name, where in top_all[:args.top]:
+        print(f"  {tot_b/1e6:8.2f} MB ({out_b/1e6:7.2f} out)  "
+              f"{opcode:16s} [{cat}] {where}")
     if args.out:
         with open(args.out, "a") as f:
             f.write(json.dumps({
                 "mode": args.mode, "batch": b,
                 "bytes_accessed": float(cost.get("bytes accessed", 0)),
                 "flops": float(cost.get("flops", 0)),
-                "category_output_bytes": cats,
-                "top_movement": [
-                    {"bytes": mb, "op": op, "name": nm}
-                    for mb, op, nm, _ in movers[:args.top]
+                "entry_output_bytes": total_out,
+                "entry_touch_bytes": total_touch,
+                "category_output_bytes": cats_out,
+                "category_operand_bytes": cats_opnd,
+                "top_instructions": [
+                    {"bytes": tb, "out_bytes": ob, "op": op, "cat": cat,
+                     "name": nm, "op_name": wh}
+                    for tb, ob, op, cat, nm, wh in top_all[:args.top]
                 ],
             }) + "\n")
         print(f"\nwrote {args.out}")

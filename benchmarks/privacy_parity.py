@@ -159,8 +159,11 @@ def torch_train_cloak(fold_dir, emo_pt, gender_pt, out_dir, P, *, grl,
     """Train the reference cloak for every suppression ratio on one fold.
 
     Writes ``model.pt`` per ratio under out_dir/supp_<r>/ and returns
-    per-ratio epoch timings.  Resumable: ratios with an existing model.pt
-    are skipped (ratio 0 is loaded back for the suppression masks).
+    (per-ratio timings, per-ratio sigma trajectories).  Resumable: ratios
+    with an existing model.pt are skipped — but their recorded timing and
+    log(mean sigma)-per-epoch trajectory are loaded back from the
+    ``stats.json`` persisted at train time, so the committed artifact
+    carries real measurements even when assembled across invocations.
     """
     import random
 
@@ -179,6 +182,7 @@ def torch_train_cloak(fold_dir, emo_pt, gender_pt, out_dir, P, *, grl,
 
     batch = P["batch_size"]
     timings = {}
+    sig_trajs = {}
 
     def make_model():
         # setup_seed(8) equivalent (training_tools.py:69-74) before model
@@ -246,8 +250,13 @@ def torch_train_cloak(fold_dir, emo_pt, gender_pt, out_dir, P, *, grl,
     for ratio in RATIOS:
         rdir = os.path.join(out_dir, f"supp_{ratio}")
         pt = os.path.join(rdir, "model.pt")
+        stats_path = os.path.join(rdir, "stats.json")
         if os.path.exists(pt):
             log(f"  supp {ratio}: exists, skip")
+            if os.path.exists(stats_path):
+                st = json.load(open(stats_path))
+                timings[ratio] = st["timing_s"]
+                sig_trajs[ratio] = st["sigma_log_mean_trajectory"]
             continue
         os.makedirs(rdir, exist_ok=True)
         model = make_model()
@@ -270,11 +279,14 @@ def torch_train_cloak(fold_dir, emo_pt, gender_pt, out_dir, P, *, grl,
 
         best_acc, best_state, best_epoch = 0.0, None, 0
         bad, prev_val = 0, None
+        traj = []
         t0 = time.perf_counter()
         for epoch in range(num_epochs):
             np.random.seed(seed + epoch)  # per-epoch shuffle stream
             run_epoch(model, optimizer, x_tr, emo_tr, gen_tr, w_tr, mask,
                       ratio, True)
+            traj.append(float(np.log(
+                model.intermed.scales().detach().numpy().mean())))
             if not grl:
                 scheduler.step()  # quirk 14: stepped after the train pass
             val_loss, val_acc = run_epoch(model, optimizer, x_va, emo_va,
@@ -300,9 +312,14 @@ def torch_train_cloak(fold_dir, emo_pt, gender_pt, out_dir, P, *, grl,
             best_state, best_epoch = copy.deepcopy(model.state_dict()), epoch
         torch.save(best_state, pt)
         timings[ratio] = dt
+        sig_trajs[ratio] = traj
+        with open(stats_path, "w") as f:
+            json.dump({"timing_s": dt, "best_epoch": best_epoch,
+                       "best_val_acc": best_acc,
+                       "sigma_log_mean_trajectory": traj}, f)
         log(f"  supp {ratio}: {dt:.0f}s, best epoch {best_epoch} "
             f"val acc {best_acc:.3f}")
-    return timings
+    return timings, sig_trajs
 
 
 # --------------------------------------------------------------------------
@@ -451,6 +468,7 @@ def main():
 
     arms_out = {}
     timings = {}
+    sigma_trajectories = {}
 
     def arm_results_dir(name):
         d = os.path.join(root, "results", name)
@@ -469,7 +487,7 @@ def main():
             log(f"=== {arm} ===")
             for k in fold_ids:
                 log(f" fold {k}")
-                t = torch_train_cloak(
+                t, trajs = torch_train_cloak(
                     os.path.join(fold_dir, f"fold{k}.npz"),
                     os.path.join(torch_root, f"fold{k}", "emotion.pt"),
                     os.path.join(torch_root, f"fold{k}", "gender.pt"),
@@ -478,6 +496,8 @@ def main():
                     scale_lamda=args.scale_lamda,
                     bn_freeze=bool(args.bn_freeze))
                 timings.setdefault(arm, {})[f"fold{k}"] = t
+                sigma_trajectories.setdefault(arm, {})[f"fold{k}"] = {
+                    str(r): v for r, v in trajs.items()}
             rdir = arm_results_dir(arm)
             import_torch_arm(torch_root, rdir, P, fold_ids, grl=grl,
                              scale_lamda=args.scale_lamda)
@@ -505,6 +525,23 @@ def main():
                                             str(ratio)])
             arms_out[arm] = run_sweep(base, rdir, fold_ids, grl=grl,
                                       scale_lamda=args.scale_lamda)
+            # per-epoch log(mean sigma) saved by cli.train_cloak in each
+            # artifact manifest — the fw half of the dynamics overlay
+            fw_tag = "cloak_grl" if grl else "cloak"
+            for k in fold_ids:
+                per_ratio = {}
+                for ratio in RATIOS:
+                    mpath = os.path.join(
+                        rdir, f"{fw_tag}_lamda{args.scale_lamda}_supp{ratio}",
+                        f"manifest_fold{k}.json")
+                    if os.path.exists(mpath):
+                        m = json.load(open(mpath))
+                        tr = m.get("sigma_log_mean_trajectory")
+                        if tr and any(v is not None for v in tr):
+                            per_ratio[str(ratio)] = tr
+                if per_ratio:
+                    sigma_trajectories.setdefault(arm, {})[
+                        f"fold{k}"] = per_ratio
 
     # per-ratio deltas (torch - framework), judged against fold spread
     comparison = {}
@@ -519,6 +556,22 @@ def main():
             spread = max(a[rk]["emotion_uar_std"], b[rk]["emotion_uar_std"])
             spread_adv = max(a[rk]["adversary_uar_std"],
                              b[rk]["adversary_uar_std"])
+            # PAIRED per-fold deltas (same fold, torch - fw): the sharper
+            # statistic — fold-to-fold corpus variation cancels, so the
+            # paired mean isolates the trainer difference where the
+            # mean-vs-spread criterion alone would pass almost anything
+            paired = {}
+            for fk in a[rk].get("per_fold", {}):
+                if fk not in b[rk].get("per_fold", {}):
+                    continue
+                pa, pb = a[rk]["per_fold"][fk], b[rk]["per_fold"][fk]
+                paired[fk] = {
+                    "emotion_uar": pa["emotion_uar"] - pb["emotion_uar"],
+                    "adversary_uar": pa["adversary_uar"]
+                    - pb["adversary_uar"],
+                }
+            pe = [v["emotion_uar"] for v in paired.values()]
+            pv = [v["adversary_uar"] for v in paired.values()]
             rows[rk] = {
                 "emotion_uar_delta": a[rk]["emotion_uar"]
                 - b[rk]["emotion_uar"],
@@ -526,6 +579,11 @@ def main():
                 - b[rk]["adversary_uar"],
                 "fold_spread_emotion": spread,
                 "fold_spread_adversary": spread_adv,
+                "paired_per_fold": paired,
+                "paired_emotion_mean_abs": float(np.mean(np.abs(pe)))
+                if pe else None,
+                "paired_adversary_mean_abs": float(np.mean(np.abs(pv)))
+                if pv else None,
                 "within_spread": (
                     abs(a[rk]["emotion_uar"] - b[rk]["emotion_uar"])
                     <= max(spread, 1e-9) * 2
@@ -557,6 +615,7 @@ def main():
         "arms": arms_out,
         "comparison": comparison,
         "torch_timings_s": timings,
+        "sigma_log_mean_trajectories": sigma_trajectories,
     }
     with open(args.out_json, "w") as f:
         json.dump(result, f, indent=2)

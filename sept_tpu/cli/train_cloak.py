@@ -190,19 +190,28 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
         return out[0]
 
     spk_w = speaker_weights(fold.training) if "combine" in cfg.dataset else None
+
+    def sigma_stats(st):
+        # per-epoch sigma observables — the reference prints these every
+        # epoch (training_cloak.py:429-438); kept in history so parity
+        # harnesses can overlay optimization dynamics, not just endpoints
+        s = np.asarray(cloak_scales(model, st.params))
+        return {"sigma_log_mean": float(np.log(s.mean())),
+                "sigma_mean": float(s.mean()), "sigma_max": float(s.max())}
+
     if jax.default_backend() != "cpu" or mesh is not None:
         from sept_tpu.train.device_loop import fit_device_cloak
 
         result = fit_device_cloak(
             state, model, tx, fold.training, fold.validation, fold.test, cfg,
             jax.jit(eval_logits), mask=mask, spk_weights=spk_w, verbose=verbose,
-            mesh=mesh, resume_path=resume_path,
+            mesh=mesh, resume_path=resume_path, epoch_callback=sigma_stats,
         )
     else:
         result = fit(
             state, make_step(), jax.jit(eval_logits), fold.training,
             fold.validation, fold.test, cfg, spk_weights=spk_w, mask=mask,
-            verbose=verbose,
+            verbose=verbose, epoch_callback=sigma_stats,
         )
 
     scales = np.asarray(cloak_scales(model, result.best_state.params))
@@ -217,6 +226,9 @@ def run_fold(cfg, fold, ckpt, verbose=True, mesh=None, resume_path=None):
             "scales_mean": float(scales.mean()),
             "scales_max": float(scales.max()),
             "scales_min": float(scales.min()),
+            "sigma_log_mean_trajectory": [
+                h.get("sigma_log_mean") for h in result.history
+            ],
         },
     )
     if verbose:

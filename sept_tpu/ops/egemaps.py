@@ -243,10 +243,14 @@ def yin_pitch(frames, n_fft: int = _NFFT, sr: int = _SR,
          d[:, 1:] * jnp.asarray(taus[1:], d.dtype) / (cum + eps)],
         axis=1,
     )
-    # first local-min dip below threshold within the search band
+    # first local-min dip below threshold within the search band; require
+    # BOTH neighbors >= dp so a plateau point or the first below-threshold
+    # sample of a falling edge cannot be picked (parabolic interpolation
+    # would then refine the wrong lag by up to half a bin)
     in_band = ((taus >= min_lag) & (taus < max_lag))[None, :]
     nxt = jnp.concatenate([dp[:, 1:], jnp.full_like(dp[:, :1], np.inf)], axis=1)
-    dips = (dp < threshold) & (nxt >= dp) & in_band
+    prv = jnp.concatenate([jnp.full_like(dp[:, :1], np.inf), dp[:, :-1]], axis=1)
+    dips = (dp < threshold) & (nxt >= dp) & (prv >= dp) & in_band
     has_dip = jnp.any(dips, axis=1)
     first_dip = jnp.argmax(dips, axis=1)
     global_min = jnp.argmin(jnp.where(in_band, dp, np.inf), axis=1)
@@ -306,7 +310,15 @@ def _lpc_env(frames, n_fft: int = _NFFT, order: int = _LPC_ORDER):
     spec_ac = jnp.fft.rfft(xw, n=2 * n_fft, axis=1)
     r = jnp.fft.irfft(spec_ac * jnp.conj(spec_ac), axis=1).real[:, : order + 1]
     r = r / (r[:, :1] + eps)  # normalize; r[0] = 1
-    r = r.at[:, 0].add(1e-3)  # white-noise ridge: poles off the unit circle
+    # White-noise ridge: poles off the unit circle.  1e-5, NOT stronger: a
+    # ridge is spectrally white noise added to the frame, and at 1e-3 it
+    # flattens the valley between close formant pairs enough that the
+    # envelope merges them into one peak (/o/'s F1=570/F2=840 collapsed to
+    # a single ~639 Hz peak, verified in a float64 oracle — so it is the
+    # ridge, not float32).  At 1e-5 close pairs resolve (/o/ -> 628/839)
+    # while stability on marginal frames comes from the Levinson k/err
+    # clamps and the 0.99 bandwidth expansion below, not the ridge.
+    r = r.at[:, 0].add(1e-5)
 
     a = jnp.zeros((frames.shape[0], order + 1), frames.dtype)
     err = r[:, 0]

@@ -189,7 +189,8 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
                     test_epoch, m_total: int, n_real: Optional[int] = None,
                     needs_order: bool = True,
                     resume_path: Optional[str],
-                    replicate, verbose: bool) -> FitResult:
+                    replicate, verbose: bool,
+                    epoch_callback=None) -> FitResult:
     """Shared epoch-loop bookkeeping for ALL fold drivers (loop.fit and
     both device-resident drivers).
 
@@ -272,7 +273,14 @@ def _run_epoch_loop(state, cfg: ExperimentConfig, *, train_epoch, val_epoch,
         state, train_m = train_epoch(state, epoch, order)
         val_m = val_epoch(state)
         test_m = test_epoch(state)
-        history.append({"train": train_m, "validate": val_m, "test": test_m})
+        entry = {"train": train_m, "validate": val_m, "test": test_m}
+        if epoch_callback is not None:
+            # per-epoch observables beyond the step metrics (e.g. cloak
+            # sigma statistics — the reference prints these every epoch,
+            # training_cloak.py:429-438); merged into history so mid-fold
+            # snapshots carry them and resume keeps the trajectory whole
+            entry.update(epoch_callback(state))
+        history.append(entry)
 
         if cfg.optimizer == "adam":
             state = dataclasses.replace(
@@ -428,6 +436,7 @@ def fit_device_cloak(
     verbose: bool = True,
     mesh=None,
     resume_path: Optional[str] = None,
+    epoch_callback=None,
 ) -> FitResult:
     """Device-resident cloak / cloak+GRL training with scanned epochs.
 
@@ -503,4 +512,5 @@ def fit_device_cloak(
         m_total=train_ds.n_batches * train_ds.batch_size,
         n_real=train_ds.n_real,
         resume_path=resume_path, replicate=replicate, verbose=verbose,
+        epoch_callback=epoch_callback,
     )

@@ -286,6 +286,7 @@ def fit(
     mask=None,
     verbose: bool = True,
     profile_dir: Optional[str] = None,
+    epoch_callback=None,
 ) -> FitResult:
     """The reference's per-fold epoch loop with best-model tracking.
 
@@ -322,6 +323,7 @@ def fit(
         resume_path=None,
         replicate=lambda st: st,
         verbose=verbose,
+        epoch_callback=epoch_callback,
     )
 
 

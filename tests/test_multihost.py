@@ -28,10 +28,17 @@ pytestmark = pytest.mark.slow
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+def _reserve_port() -> tuple[socket.socket, int]:
+    """Bind an ephemeral port with SO_REUSEADDR and return the LIVE socket
+    plus its port.  The caller holds the socket until just before spawning
+    the workers, so no other process can grab the port in between (the
+    close-then-reuse pattern is a TOCTOU race); SO_REUSEADDR lets the
+    coordinator bind the same port while our closed socket lingers in
+    TIME_WAIT."""
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind(("127.0.0.1", 0))
+    return s, s.getsockname()[1]
 
 
 def _single_process_reference():
@@ -70,7 +77,7 @@ def _single_process_reference():
 
 
 def test_two_process_dcn_dp_epoch_matches_single_process(tmp_path):
-    port = _free_port()
+    reserved, port = _reserve_port()
     out = tmp_path / "proc0_result.npz"
     procs = []
     logs = []
@@ -90,6 +97,10 @@ def test_two_process_dcn_dp_epoch_matches_single_process(tmp_path):
         })
         log = open(tmp_path / f"worker{pid}.log", "wb")
         logs.append(log)
+        if pid == 0:
+            # release the reserved port only now, microseconds before the
+            # coordinator process that will re-bind it is spawned
+            reserved.close()
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(HERE, "_multihost_worker.py"),
              str(out)],
