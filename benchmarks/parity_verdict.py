@@ -26,7 +26,8 @@ import numpy as np
 
 def main(path):
     d = json.load(open(path))
-    print(f"preset={d['protocol']['preset']} folds={d['protocol']['folds']} "
+    folds = d["protocol"].get("folds") or d["protocol"].get("folds_by_arm")
+    print(f"preset={d['protocol']['preset']} folds={folds} "
           f"epochs={d['protocol']['num_epochs']} corpus={d['corpus']}")
     print(f"clean: {({k: round(v, 3) for k, v in d['clean'].items()})}")
 
